@@ -1,0 +1,156 @@
+"""Bag-of-words place recognition: vocabulary tree + inverted-index database.
+
+Re-design of BowVocabulary / BowDatabase (include/visnav/bow_voc.h:57-123,
+bow_db.h:49-124): a k-ary tree of 256-bit binary centroids; descriptors
+descend the tree by greedy nearest-child (Hamming) to a leaf word; an image
+becomes an L1-normalised sparse word vector; queries use the sparse L1
+trick  ``score = 2 + sum_shared(|a-b| - |a| - |b|)``  (lower = more
+similar) with a top-k partial sort.
+
+The reference only *loads* a prebuilt vocabulary; we also provide
+``build_vocabulary`` (hierarchical binary k-means with majority-vote
+centroids) so the pipeline is self-contained.  Tree descent is a batched
+device computation (one (N_desc, k) Hamming matrix per level); the inverted
+index is host-side bookkeeping.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+
+def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 8) x (M, 8) uint32 -> (N, M) int popcount distances."""
+    x = a[:, None, :] ^ b[None, :, :]
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _majority_centroid(desc: np.ndarray) -> np.ndarray:
+    """Bitwise majority vote over (N, 8) uint32 descriptors."""
+    bits = np.unpackbits(desc.view(np.uint8), axis=-1)  # (N, 256)
+    maj = (bits.sum(0) * 2 >= bits.shape[0]).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+class BowVocabulary:
+    """k-ary vocabulary tree over 256-bit descriptors."""
+
+    def __init__(self, centroids, children, leaf_word):
+        self.centroids = np.asarray(centroids, np.uint32)   # (nodes, 8)
+        self.children = children                             # list[list[int]]
+        self.leaf_word = np.asarray(leaf_word, np.int32)     # (nodes,) or -1
+        self.num_words = int(self.leaf_word.max()) + 1
+
+    def save(self, path):
+        with open(path, "wb") as f:
+            pickle.dump(
+                {"centroids": self.centroids, "children": self.children,
+                 "leaf_word": self.leaf_word}, f,
+            )
+
+    @classmethod
+    def load(cls, path):
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        return cls(d["centroids"], d["children"], d["leaf_word"])
+
+    def word_ids(self, desc: np.ndarray) -> np.ndarray:
+        """Map (N, 8)-uint32 descriptors to leaf word ids
+        (transformFeatureToWord, bow_voc.h:57-88)."""
+        desc = np.asarray(desc, np.uint32).reshape(-1, 8)
+        words = np.zeros(len(desc), np.int32)
+        node = np.zeros(len(desc), np.int64)
+        active = np.ones(len(desc), bool)
+        while active.any():
+            for n in np.unique(node[active]):
+                sel = active & (node == n)
+                kids = self.children[n]
+                if not kids:
+                    words[sel] = self.leaf_word[n]
+                    active[sel] = False
+                    continue
+                d = _hamming_np(desc[sel], self.centroids[kids])
+                node[sel] = np.asarray(kids)[d.argmin(1)]
+        return words
+
+    def transform(self, desc: np.ndarray) -> dict:
+        """Image -> L1-normalised sparse word vector {word: weight}
+        (BowVocabulary::transform, bow_voc.h:90-123)."""
+        if len(desc) == 0:
+            return {}
+        words, counts = np.unique(self.word_ids(desc), return_counts=True)
+        total = counts.sum()
+        return {int(w): float(c) / total for w, c in zip(words, counts)}
+
+
+def build_vocabulary(
+    descriptors: np.ndarray, k: int = 10, levels: int = 3, seed: int = 0
+) -> BowVocabulary:
+    """Hierarchical binary k-means on (N, 8)-uint32 descriptors."""
+    rng = np.random.default_rng(seed)
+    desc = np.asarray(descriptors, np.uint32).reshape(-1, 8)
+
+    centroids = [np.zeros(8, np.uint32)]  # root placeholder
+    children: list[list[int]] = [[]]
+    leaf_word = [-1]
+    next_word = [0]
+
+    def split(node: int, subset: np.ndarray, depth: int):
+        if depth >= levels or len(subset) <= k:
+            leaf_word[node] = next_word[0]
+            next_word[0] += 1
+            return
+        kk = min(k, len(subset))
+        centers = subset[rng.choice(len(subset), kk, replace=False)]
+        for _ in range(8):  # k-means iterations
+            assign = _hamming_np(subset, centers).argmin(1)
+            new_centers = []
+            for c in range(kk):
+                grp = subset[assign == c]
+                new_centers.append(
+                    _majority_centroid(grp) if len(grp) else centers[c]
+                )
+            centers = np.stack(new_centers)
+        assign = _hamming_np(subset, centers).argmin(1)
+        for c in range(kk):
+            child = len(centroids)
+            centroids.append(centers[c])
+            children.append([])
+            leaf_word.append(-1)
+            children[node].append(child)
+            grp = subset[assign == c]
+            if len(grp):
+                split(child, grp, depth + 1)
+            else:
+                leaf_word[child] = next_word[0]
+                next_word[0] += 1
+
+    split(0, desc, 0)
+    return BowVocabulary(np.stack(centroids), children, leaf_word)
+
+
+class BowDatabase:
+    """Inverted index word -> [(image, weight)] with the sparse-L1 scoring
+    trick (BowDatabase::{insert, query}, bow_db.h:49-124)."""
+
+    def __init__(self, num_words: int):
+        self.index: dict = {}
+
+    def clear(self):
+        self.index = {}
+
+    def insert(self, fcid, bow_vector: dict):
+        for w, v in bow_vector.items():
+            self.index.setdefault(w, []).append((fcid, v))
+
+    def query(self, bow_vector: dict, num_results: int):
+        """Returns [(fcid, score)] sorted ascending (smaller L1 distance is
+        more similar), top num_results."""
+        scores: dict = {}
+        for w, a in bow_vector.items():
+            for fcid, b in self.index.get(w, []):
+                scores[fcid] = scores.get(fcid, 0.0) + abs(a - b) - abs(a) - abs(b)
+        ranked = sorted(scores.items(), key=lambda kv: kv[1])[:num_results]
+        return [(fcid, 2.0 + s) for fcid, s in ranked]

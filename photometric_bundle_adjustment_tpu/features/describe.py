@@ -1,0 +1,111 @@
+"""Keypoint orientation + rotated BRIEF-256 descriptors, batched.
+
+Replaces computeAngles / computeDescriptors (include/visnav/keypoints.h:
+151-213): intensity-centroid orientation over the radius-15 disc, then the
+256 hard-coded sampling pairs rotated by the angle (with the same
+``round()`` quantisation as the reference so descriptors are bit-compatible)
+and compared.  One gather of shape (N, taps) per image instead of scalar
+loops; descriptors are packed into (N, 8) uint32 words so matching can use
+XOR + population-count on 32-bit lanes.
+
+The sampling-pair table is the standard ORB pattern, shipped as data in
+``brief_pattern.npz``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PATCH_SIZE = 31       # keypoints.h:49
+HALF_PATCH_SIZE = 15  # keypoints.h:50
+
+_pattern = np.load(os.path.join(os.path.dirname(__file__), "brief_pattern.npz"))
+PATTERN_XA = jnp.asarray(_pattern["xa"], jnp.float32)
+PATTERN_YA = jnp.asarray(_pattern["ya"], jnp.float32)
+PATTERN_XB = jnp.asarray(_pattern["xb"], jnp.float32)
+PATTERN_YB = jnp.asarray(_pattern["yb"], jnp.float32)
+
+# circular-disc offsets for the intensity centroid (keypoints.h:167-173):
+# for x in [-15, 15], y in [-floor(sqrt(15^2 - x^2)), +floor(...)]
+_disc = []
+for _x in range(-HALF_PATCH_SIZE, HALF_PATCH_SIZE + 1):
+    _yb = int(np.sqrt(HALF_PATCH_SIZE * HALF_PATCH_SIZE - _x * _x))
+    for _y in range(-_yb, _yb + 1):
+        _disc.append((_x, _y))
+DISC_OFFSETS = jnp.asarray(np.array(_disc, np.int32))  # (D, 2) as (x, y)
+
+
+def _gather_pixels(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """img[(y, x)] with clamping; img is (H, W), x/y int arrays."""
+    H, W = img.shape
+    xc = jnp.clip(x, 0, W - 1)
+    yc = jnp.clip(y, 0, H - 1)
+    return img[yc, xc]
+
+
+@jax.jit
+def compute_angles(img: jax.Array, uv: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation, (N,) radians (keypoints.h:151-180)."""
+    img = img.astype(jnp.float32)
+    cx = uv[:, 0].astype(jnp.int32)  # truncation, as the reference's int cast
+    cy = uv[:, 1].astype(jnp.int32)
+    dx = DISC_OFFSETS[:, 0]
+    dy = DISC_OFFSETS[:, 1]
+    # (N, D) patch of intensities
+    px = cx[:, None] + dx[None, :]
+    py = cy[:, None] + dy[None, :]
+    vals = _gather_pixels(img, px, py)
+    m10 = jnp.sum(dx[None, :] * vals, axis=1)
+    m01 = jnp.sum(dy[None, :] * vals, axis=1)
+    return jnp.arctan2(m01, m10)
+
+
+@jax.jit
+def compute_descriptors(
+    img: jax.Array, uv: jax.Array, angles: jax.Array
+) -> jax.Array:
+    """Rotated BRIEF-256, packed to (N, 8) uint32 (keypoints.h:182-213)."""
+    img = img.astype(jnp.float32)
+    cx = uv[:, 0].astype(jnp.int32)
+    cy = uv[:, 1].astype(jnp.int32)
+    ca = jnp.cos(angles)[:, None]  # (N, 1)
+    sa = jnp.sin(angles)[:, None]
+
+    def rot_round(px, py):
+        rx = jnp.round(ca * px[None, :] - sa * py[None, :]).astype(jnp.int32)
+        ry = jnp.round(sa * px[None, :] + ca * py[None, :]).astype(jnp.int32)
+        return rx, ry
+
+    xa, ya = rot_round(PATTERN_XA, PATTERN_YA)
+    xb, yb = rot_round(PATTERN_XB, PATTERN_YB)
+    va = _gather_pixels(img, cx[:, None] + xa, cy[:, None] + ya)
+    vb = _gather_pixels(img, cx[:, None] + xb, cy[:, None] + yb)
+    bits = (va < vb).astype(jnp.uint32)  # (N, 256)
+
+    # pack bit d of word w = bits[:, 32*w + d] << d
+    N = bits.shape[0]
+    words = bits.reshape(N, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def detect_and_describe(img, num_features=1500, rotate_features=True):
+    """Full front-end for one image: corners + angles + descriptors.
+
+    Mirrors detectKeypointsAndDescriptors (keypoints.h:215-221).  Returns
+    (uv (F,2), valid (F,), angles (F,), descriptors (F,8) uint32).
+    """
+    from photometric_bundle_adjustment_tpu.features.detect import detect_keypoints
+
+    uv, valid, _ = detect_keypoints(img, num_features=num_features)
+    if rotate_features:
+        angles = compute_angles(img, uv)
+    else:
+        angles = jnp.zeros(uv.shape[0], jnp.float32)
+    desc = compute_descriptors(img, uv, angles)
+    return uv, valid, angles, desc

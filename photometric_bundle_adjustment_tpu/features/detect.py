@@ -1,0 +1,117 @@
+"""Shi-Tomasi corner detection, TPU-first.
+
+Replaces the reference's ``cv::goodFeaturesToTrack`` call
+(include/visnav/keypoints.h:133-149): Sobel gradients -> structure tensor
+(box filter) -> minimum-eigenvalue score -> quality threshold (fraction of
+the max score) -> non-maximum suppression -> top-k.  Everything is
+expressed as convolutions + elementwise ops + reductions, which XLA fuses
+and tiles onto the VPU/MXU; shapes are static (fixed ``num_features`` slots
+with a validity mask) so the whole front-end jits.
+
+The greedy min-distance NMS of OpenCV is replaced by window NMS (a corner
+survives iff it is the maximum of its (2r+1)^2 neighbourhood with
+r = min_distance) — the TPU-friendly equivalent with near-identical
+selection behaviour, followed by score-ordered top-k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+EDGE_THRESHOLD = 19  # keypoints.h:51
+
+
+def _conv2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Same-padding 2D convolution on a single-channel image."""
+    return jax.lax.conv_general_dilated(
+        img[None, None, :, :],
+        kernel[None, None, :, :],
+        window_strides=(1, 1),
+        padding="SAME",
+    )[0, 0]
+
+
+def shi_tomasi_score(img: jax.Array, block_size: int = 3) -> jax.Array:
+    """Min-eigenvalue corner response (H, W)."""
+    img = img.astype(jnp.float32)
+    sobel_x = jnp.array(
+        [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32
+    ) / 8.0
+    sobel_y = sobel_x.T
+    ix = _conv2d(img, sobel_x)
+    iy = _conv2d(img, sobel_y)
+    box = jnp.ones((block_size, block_size), jnp.float32)
+    ixx = _conv2d(ix * ix, box)
+    iyy = _conv2d(iy * iy, box)
+    ixy = _conv2d(ix * iy, box)
+    tr = ixx + iyy
+    det_part = jnp.sqrt(jnp.maximum((ixx - iyy) ** 2 + 4.0 * ixy * ixy, 0.0))
+    return 0.5 * (tr - det_part)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_features", "min_distance", "edge_threshold")
+)
+def detect_keypoints(
+    img: jax.Array,
+    num_features: int = 1500,
+    quality_level: float = 0.01,
+    min_distance: int = 8,
+    edge_threshold: int = EDGE_THRESHOLD,
+):
+    """Detect up to ``num_features`` corners.
+
+    Args:
+      img: (H, W) grayscale (uint8 or float).
+
+    Returns:
+      uv: (num_features, 2) float32 corner positions (x=col, y=row), padded.
+      valid: (num_features,) bool.
+      score: (num_features,) float32.
+
+    Defaults match sfm.cpp:197-198 (1500 features) and
+    goodFeaturesToTrack(quality 0.01, min dist 8) at keypoints.h:138,
+    with the edge-margin filter of keypoints.h:145.
+    """
+    H, W = img.shape
+    score = shi_tomasi_score(img)
+
+    # quality threshold relative to best corner (goodFeaturesToTrack semantics)
+    score = jnp.where(score >= quality_level * jnp.max(score), score, 0.0)
+
+    # window NMS: keep local maxima of a (2r+1)^2 neighbourhood.  OpenCV's
+    # greedy NMS keeps corners >= min_distance apart but retains the denser
+    # of two nearby peaks; radius min_distance/2 reproduces its density.
+    r = max(1, int(min_distance) // 2)
+    local_max = jax.lax.reduce_window(
+        score,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(2 * r + 1, 2 * r + 1),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    is_peak = (score == local_max) & (score > 0.0)
+
+    # edge margin (InBounds with EDGE_THRESHOLD, keypoints.h:145)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    in_bounds = (
+        (xs >= edge_threshold)
+        & (xs < W - edge_threshold)
+        & (ys >= edge_threshold)
+        & (ys < H - edge_threshold)
+    )
+    masked = jnp.where(is_peak & in_bounds, score, 0.0)
+
+    flat = masked.reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat, num_features)
+    uv = jnp.stack(
+        [(top_idx % W).astype(jnp.float32), (top_idx // W).astype(jnp.float32)],
+        axis=-1,
+    )
+    valid = top_scores > 0.0
+    return uv, valid, top_scores

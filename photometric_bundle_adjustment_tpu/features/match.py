@@ -1,0 +1,105 @@
+"""Descriptor matching: Hamming distance + ratio test + mutual cross-check.
+
+Semantics of the reference's matchSets/matchDescriptors
+(keypoints.h:223-278): a left feature matches right feature j iff
+  * j minimises the Hamming distance,
+  * best distance < threshold (70 default, sfm.cpp:200),
+  * second-best >= best * ratio (1.2 default, sfm.cpp:201-202),
+  * and the right->left match agrees (mutual cross-check).
+
+Two interchangeable backends: a pure-XLA path (works everywhere, vmappable
+over image pairs) and the Pallas VMEM-resident kernel in ``ops.hamming``
+for the TPU hot path.  Shapes are static: descriptor arrays are padded with
+a validity mask and results use -1 for "no match".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.int32(1 << 20)
+
+
+def hamming_matrix(d1: jax.Array, d2: jax.Array) -> jax.Array:
+    """(N1, N2) int32 Hamming distances between packed (N, 8)-uint32 rows."""
+    acc = jnp.zeros((d1.shape[0], d2.shape[0]), jnp.int32)
+    for w in range(8):
+        x = jnp.bitwise_xor(d1[:, w][:, None], d2[:, w][None, :])
+        acc = acc + jax.lax.population_count(x).astype(jnp.int32)
+    return acc
+
+
+def _best_two_xla(d1, d2, valid2):
+    dist = hamming_matrix(d1, d2)
+    dist = jnp.where(valid2[None, :], dist, BIG)
+    best = jnp.min(dist, axis=1)
+    bidx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    second = jnp.min(jnp.where(col == bidx[:, None], BIG, dist), axis=1)
+    return best, second, bidx
+
+
+def _one_way(best, second, bidx, valid1, threshold, ratio):
+    """matchSets accept rule (keypoints.h:247-253)."""
+    ok = (best < threshold) & (second.astype(jnp.float32) >= best.astype(jnp.float32) * ratio)
+    ok = ok & valid1
+    return jnp.where(ok, bidx, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def match_descriptors(
+    d1: jax.Array,
+    d2: jax.Array,
+    valid1: jax.Array,
+    valid2: jax.Array,
+    threshold: int = 70,
+    ratio: float = 1.2,
+    use_pallas: bool = False,
+):
+    """Mutual best matches.  Returns (N1,) int32: index into d2 or -1.
+
+    Matches matchDescriptors (keypoints.h:259-278).
+    """
+    if use_pallas:
+        from photometric_bundle_adjustment_tpu.ops import hamming
+
+        n2 = jnp.sum(valid2.astype(jnp.int32))
+        # pallas kernel masks by count; ensure valid entries are contiguous
+        b1, s1, i1 = hamming.best_two_nn(d1, d2, n2)
+        n1 = jnp.sum(valid1.astype(jnp.int32))
+        b2, s2, i2 = hamming.best_two_nn(d2, d1, n1)
+    else:
+        b1, s1, i1 = _best_two_xla(d1, d2, valid2)
+        b2, s2, i2 = _best_two_xla(d2, d1, valid1)
+
+    m12 = _one_way(b1, s1, i1, valid1, threshold, ratio)  # (N1,)
+    m21 = _one_way(b2, s2, i2, valid2, threshold, ratio)  # (N2,)
+
+    # cross-check: m21[m12[i]] == i
+    back = jnp.where(m12 >= 0, m21[jnp.clip(m12, 0, m21.shape[0] - 1)], -2)
+    rows = jnp.arange(m12.shape[0], dtype=jnp.int32)
+    return jnp.where((m12 >= 0) & (back == rows), m12, -1)
+
+
+def matches_to_pairs(m12: jax.Array, max_matches: int):
+    """Compact (N1,) match vector into fixed-size (max_matches, 2) index
+    pairs + count (static shapes for downstream RANSAC)."""
+    N1 = m12.shape[0]
+    is_match = m12 >= 0
+    order = jnp.argsort(~is_match, stable=True)  # matched rows first
+    if N1 < max_matches:
+        order = jnp.concatenate(
+            [order, jnp.zeros(max_matches - N1, order.dtype)]
+        )
+    rows = order[:max_matches].astype(jnp.int32)
+    cols = m12[rows]
+    count = jnp.minimum(jnp.sum(is_match.astype(jnp.int32)), max_matches)
+    k = jnp.arange(max_matches, dtype=jnp.int32)
+    valid = k < count
+    pairs = jnp.stack(
+        [jnp.where(valid, rows, 0), jnp.where(valid, cols, 0)], axis=-1
+    )
+    return pairs, valid, count

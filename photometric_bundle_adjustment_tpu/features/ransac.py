@@ -1,0 +1,209 @@
+"""Vectorised RANSAC: relative pose (essential) and absolute pose (PnP).
+
+TPU-first re-design of the reference's OpenGV usage: instead of the
+sequential hypothesise-and-verify loop inside
+``sac::Ransac`` (matching_utils.h:81-176 NISTER 5pt;
+map_utils.h:242-302 EPnP), we draw a *fixed batch* of minimal samples, turn
+each into a model with a vmapped linear solver (8-point essential / DLT
+PnP — SVDs batched over the hypothesis axis), score every hypothesis
+against every correspondence in one (hypotheses x matches) computation, and
+argmax the inlier count.  Static shapes throughout (padded matches +
+masks), so the whole thing jits and can itself be vmapped over image pairs.
+
+Nonlinear refinement on the inlier set (OpenGV ``optimize_nonlinear``
+equivalents) minimises smooth tangent-space bearing residuals
+``f_obs x f_pred`` with the shared LM core, then re-selects inliers with
+the refined model (matching_utils.h:139-175 semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from photometric_bundle_adjustment_tpu.core import se3
+from photometric_bundle_adjustment_tpu.features import geometry
+from photometric_bundle_adjustment_tpu.optim import LMConfig, lm_solve
+
+
+def _sample_indices(key, num_hyp, sample_size, count):
+    """(num_hyp, sample_size) random indices in [0, count)."""
+    u = jax.random.uniform(key, (num_hyp, sample_size))
+    return (u * count.astype(u.dtype)).astype(jnp.int32) % jnp.maximum(count, 1)
+
+
+# ---------------------------------------------------------------------------
+# relative pose
+# ---------------------------------------------------------------------------
+
+
+def _pose_from_Rt(R, t, dtype):
+    return se3.make(t.astype(dtype), se3.quat_from_matrix(R.astype(dtype)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_hypotheses", "refine_iters")
+)
+def ransac_relative_pose(
+    bearings0: jax.Array,     # (M, 3) unit bearings, image 0
+    bearings1: jax.Array,     # (M, 3)
+    valid: jax.Array,         # (M,) bool
+    key: jax.Array,
+    threshold: float = 5e-5,  # sfm.cpp:203-204
+    min_inliers: int = 16,    # sfm.cpp:205-206
+    num_hypotheses: int = 128,
+    refine_iters: int = 10,
+):
+    """Returns (T_0_1 (7,), inlier_mask (M,), num_inliers).
+
+    ``inlier_mask`` is all-False when the count is not > min_inliers
+    (findInliersRansac leaves inliers empty, matching_utils.h:132).
+    Translation is normalised to unit length (matching_utils.h:128-131).
+    """
+    M = bearings0.shape[0]
+    dtype = bearings0.dtype
+    count = jnp.sum(valid.astype(jnp.int32))
+
+    idx = _sample_indices(key, num_hypotheses, 8, count)
+    # map sample slots to valid rows: valid rows first via argsort
+    order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
+    idx = order[idx]  # (H, 8)
+
+    f0s = bearings0[idx]  # (H, 8, 3)
+    f1s = bearings1[idx]
+
+    Es = jax.vmap(geometry.eight_point)(f0s, f1s)          # (H, 3, 3)
+    Rs, ts = jax.vmap(geometry.decompose_essential)(Es)    # (H, 4, 3, 3), (H, 4, 3)
+    poses = jax.vmap(
+        jax.vmap(lambda R, t: _pose_from_Rt(R, t, dtype))
+    )(Rs, ts).reshape(num_hypotheses * 4, 7)
+
+    def score(pose):
+        err = geometry.reprojection_angle_error(bearings0, bearings1, pose)
+        inl = (err <= threshold) & valid
+        return jnp.sum(inl.astype(jnp.int32))
+
+    scores = jax.vmap(score)(poses)
+    best = jnp.argmax(scores)
+    T_best = poses[best]
+
+    err = geometry.reprojection_angle_error(bearings0, bearings1, T_best)
+    inlier0 = (err <= threshold) & valid
+
+    # --- nonlinear refinement on inliers (optimize_nonlinear equivalent) ---
+    w = inlier0.astype(dtype)
+
+    def residual(T):
+        p0 = geometry.triangulate_midpoint(bearings0, bearings1, T)
+        p1 = se3.act(se3.inverse(T), p0)
+        n0 = p0 / jnp.maximum(jnp.linalg.norm(p0, axis=-1, keepdims=True), 1e-12)
+        n1 = p1 / jnp.maximum(jnp.linalg.norm(p1, axis=-1, keepdims=True), 1e-12)
+        r0 = jnp.cross(bearings0, n0) * w[:, None]
+        r1 = jnp.cross(bearings1, n1) * w[:, None]
+        return jnp.concatenate([r0, r1]).reshape(-1)
+
+    cfg = LMConfig(max_iterations=refine_iters, function_tolerance=1e-14)
+    T_ref, _ = lm_solve(residual, T_best, se3.right_plus, 6, cfg)
+
+    # re-normalise translation (scale is not observable)
+    t = se3.translation(T_ref)
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+    T_ref = se3.make(t, se3.rotation(T_ref))
+
+    err2 = geometry.reprojection_angle_error(bearings0, bearings1, T_ref)
+    inliers = (err2 <= threshold) & valid
+    n_inl = jnp.sum(inliers.astype(jnp.int32))
+    ok = n_inl > min_inliers
+    return T_ref, inliers & ok, jnp.where(ok, n_inl, 0)
+
+
+# ---------------------------------------------------------------------------
+# absolute pose (PnP)
+# ---------------------------------------------------------------------------
+
+
+def _dlt_pnp(f: jax.Array, p: jax.Array):
+    """DLT absolute pose from n >= 6 bearing<->point pairs.
+
+    Solves [f]_x (R p + t) = 0 for the 12 entries of [R|t] (T_c_w up to
+    scale), then projects R onto SO(3) and fixes scale/sign by cheirality.
+    Returns T_c_w (7,).
+    """
+    n = f.shape[0]
+    # rows: skew(f) @ [p^T kron I, I] — build (3n, 12), rank 2 each
+    S = geometry.skew(f)  # (n, 3, 3)
+    # unknown x = [r11 r12 r13 t1 r21.. t2 r31.. t3] grouping rows of [R|t]
+    ph = jnp.concatenate([p, jnp.ones((n, 1), p.dtype)], axis=-1)  # (n, 4)
+    A = jnp.einsum("nij,nk->nijk", S, ph).reshape(n * 3, 12)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    x = Vt[-1]
+    Rt = x.reshape(3, 4)
+    # the nullspace is defined up to +-: pick the sign putting points in
+    # front of the camera (cheirality) before projecting onto SO(3)
+    pc_raw = p @ Rt[:, :3].T + Rt[:, 3]
+    front = jnp.sum(jnp.sign(jnp.sum(f * pc_raw, axis=-1)))
+    Rt = Rt * jnp.where(front < 0, -1.0, 1.0)
+    R_raw, t_raw = Rt[:, :3], Rt[:, 3]
+    U, s, Vt2 = jnp.linalg.svd(R_raw)
+    d = jnp.linalg.det(U @ Vt2)
+    R = U @ jnp.diag(jnp.array([1.0, 1.0, 1.0], x.dtype).at[2].set(d)) @ Vt2
+    # rescale t consistently with normalising R's singular values to 1
+    t = t_raw * 3.0 / jnp.maximum(jnp.sum(s), 1e-12)
+    return _pose_from_Rt(R, t, f.dtype)
+
+
+def pnp_angle_error(T_c_w: jax.Array, f: jax.Array, p_w: jax.Array) -> jax.Array:
+    """1 - cos(angle between observed bearing and predicted direction)
+    (the OpenGV absolute-pose SAC error; threshold formula map_utils.h:276)."""
+    pc = se3.act(T_c_w, p_w)
+    n = pc / jnp.maximum(jnp.linalg.norm(pc, axis=-1, keepdims=True), 1e-12)
+    return 1.0 - jnp.sum(f * n, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_hypotheses", "refine_iters")
+)
+def ransac_pnp(
+    bearings: jax.Array,   # (M, 3) unit bearings in the camera frame
+    points_w: jax.Array,   # (M, 3) world points
+    valid: jax.Array,      # (M,) bool
+    key: jax.Array,
+    pixel_threshold: float = 3.0,  # sfm.cpp:234-235
+    num_hypotheses: int = 128,
+    refine_iters: int = 10,
+):
+    """Localise a camera: returns (T_w_c (7,), inlier_mask (M,)).
+
+    Threshold is the reference's 1 - cos(atan(px / 500)) conversion
+    (map_utils.h:276-277); refinement runs on the RANSAC inliers and the
+    inlier set is recomputed with the refined pose (map_utils.h:282-301).
+    """
+    dtype = bearings.dtype
+    threshold = 1.0 - jnp.cos(jnp.arctan(pixel_threshold / 500.0))
+    count = jnp.sum(valid.astype(jnp.int32))
+    order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
+    idx = order[_sample_indices(key, num_hypotheses, 6, count)]
+
+    T_cands = jax.vmap(_dlt_pnp)(bearings[idx], points_w[idx])  # (H, 7) T_c_w
+
+    def score(T):
+        err = pnp_angle_error(T, bearings, points_w)
+        return jnp.sum(((err <= threshold) & valid).astype(jnp.int32))
+
+    best = jnp.argmax(jax.vmap(score)(T_cands))
+    T_best = T_cands[best]
+    inlier0 = (pnp_angle_error(T_best, bearings, points_w) <= threshold) & valid
+    w = inlier0.astype(dtype)
+
+    def residual(T):
+        pc = se3.act(T, points_w)
+        n = pc / jnp.maximum(jnp.linalg.norm(pc, axis=-1, keepdims=True), 1e-12)
+        return (jnp.cross(bearings, n) * w[:, None]).reshape(-1)
+
+    cfg = LMConfig(max_iterations=refine_iters, function_tolerance=1e-14)
+    T_ref, _ = lm_solve(residual, T_best, se3.right_plus, 6, cfg)
+
+    inliers = (pnp_angle_error(T_ref, bearings, points_w) <= threshold) & valid
+    return se3.inverse(T_ref), inliers

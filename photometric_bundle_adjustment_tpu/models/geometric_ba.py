@@ -1,0 +1,108 @@
+"""Geometric (reprojection) bundle adjustment with anchored inverse-depth
+landmarks.
+
+The residual is the TPU-native analog of
+``BundleAdjustmentReprojectionCostFunctor`` (reprojection.h:74-118):
+
+    r = p_2d - pi_2( T_w_c2^-1 * T_w_c1 * ( pi_1^-1(p_2d_ref) / rho ) )
+
+where camera 1 is the landmark's **anchor** (first observation; the anchor
+observation itself contributes no residual, map_utils.h:351-355), the anchor
+intrinsics are held constant (map_utils.h:339-345 keeps ref-frame intrinsics
+fixed), and rho is the scalar inverse depth (common_types.h:188-219).
+
+Camera blocks are SE3 poses with right-plus retraction; gauge is fixed by
+masking the first stereo pair (sfm.cpp:1903).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from photometric_bundle_adjustment_tpu.core import cameras, se3
+from photometric_bundle_adjustment_tpu.optim import ba
+
+
+class GeometricObs(NamedTuple):
+    """aux pytree entries for one observation (leading dim O when batched)."""
+
+    uv_target: jax.Array  # (2,) measured pixel in the target image
+    uv_ref: jax.Array     # (2,) anchor pixel of the landmark
+    intr_ref: jax.Array   # (8,) anchor camera intrinsics (held constant)
+    intr_target: jax.Array  # (8,) target camera intrinsics
+
+
+def make_residual_fn(model: str):
+    """Residual for a single observation; ``cam_state`` is a pose (7,)."""
+
+    def residual(pose_a: jax.Array, pose_c: jax.Array, rho: jax.Array, aux):
+        d = cameras.unproject_unit(model, aux.intr_ref, aux.uv_ref)
+        p_w = se3.act(pose_a, d / rho)
+        p_c = se3.act(se3.inverse(pose_c), p_w)
+        return aux.uv_target - cameras.project(model, aux.intr_target, p_c)
+
+    return residual
+
+
+def cam_retract(pose: jax.Array, delta: jax.Array) -> jax.Array:
+    return se3.right_plus(pose, delta)
+
+
+@functools.lru_cache(maxsize=None)
+def make_solver(model: str):
+    return ba.make_ba_solver(make_residual_fn(model), cam_retract, 6)
+
+
+def build_problem(
+    poses: jax.Array,          # (K, 7)
+    inv_depth: jax.Array,      # (L,)
+    anchor_cam: jax.Array,     # (O,) anchor camera index per obs
+    target_cam: jax.Array,     # (O,)
+    landmark: jax.Array,       # (O,)
+    uv_target: jax.Array,      # (O, 2)
+    uv_ref: jax.Array,         # (O, 2)
+    intr_ref: jax.Array,       # (O, 8)
+    intr_target: jax.Array,    # (O, 8)
+    valid: jax.Array,          # (O,) bool
+    fixed_cams: jax.Array,     # (K,) bool
+    lm_valid: jax.Array | None = None,
+) -> ba.BAProblem:
+    if lm_valid is None:
+        lm_valid = jnp.ones(inv_depth.shape, bool)
+    obs = ba.BAObservations(
+        anchor_cam=jnp.asarray(anchor_cam, jnp.int32),
+        target_cam=jnp.asarray(target_cam, jnp.int32),
+        landmark=jnp.asarray(landmark, jnp.int32),
+        aux=GeometricObs(
+            uv_target=uv_target,
+            uv_ref=uv_ref,
+            intr_ref=intr_ref,
+            intr_target=intr_target,
+        ),
+        valid=jnp.asarray(valid, inv_depth.dtype),
+    )
+    return ba.BAProblem(
+        cam_states=poses,
+        inv_depth=inv_depth,
+        obs=obs,
+        fixed_cams=jnp.asarray(fixed_cams, bool),
+        lm_valid=jnp.asarray(lm_valid, bool),
+    )
+
+
+def bundle_adjustment(
+    problem: ba.BAProblem,
+    model: str,
+    cfg: ba.BAConfig = ba.BAConfig(),
+):
+    """Run the full jitted Schur-LM solve; returns (problem, BAResult).
+
+    Matches the reference's defaults: Huber 1 px, 20 iterations
+    (BundleAdjustmentOptions, map_utils.h:304-319).
+    """
+    solve = make_solver(model)
+    return solve(problem, cfg)

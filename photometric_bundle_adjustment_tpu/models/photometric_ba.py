@@ -1,0 +1,182 @@
+"""Photometric bundle adjustment (the pba2 capability).
+
+Direct intensity-patch residuals with warping and affine brightness
+transfer, DSO-style, on the same anchored-inverse-depth parameterisation as
+the geometric BA (SURVEY §0: the warp
+``p_target = pi(T_target_w * T_w_ref * pi^-1(p_ref) / rho)`` is identical;
+only the residual changes from a 2-vector of pixels to an 8-pixel patch of
+intensity differences).
+
+Residual for one observation (landmark seen in target camera t, anchored in
+reference camera r), per patch pixel k:
+
+    r_k = ( I_t(pi_t(warp(uv_r + d_k, rho, T))) - b_t )
+          - exp(a_t - a_r) * ( I_r(uv_r + d_k) - b_r )
+
+with per-camera affine brightness parameters (a, b); camera blocks are
+therefore 8-dimensional (6 SE3 + 2 affine) and landmark blocks stay scalar,
+so the exact same Schur-complement LM core (optim/ba.py) solves it.
+
+Image sampling is bilinear over a flat (K*H*W,) intensity buffer with
+per-observation linear-index gathers — the TPU-friendly formulation (no
+per-observation image slices).  Forward-mode autodiff through the bilinear
+weights yields the image-gradient chain term exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from photometric_bundle_adjustment_tpu.core import cameras, se3
+from photometric_bundle_adjustment_tpu.optim import ba
+
+# DSO residual pattern: 8 pixels around the anchor
+PATCH_OFFSETS = np.array(
+    [[0, -2], [-1, -1], [1, -1], [-2, 0], [0, 0], [2, 0], [-1, 1], [0, 2]],
+    np.float64,
+)
+PATCH_SIZE = len(PATCH_OFFSETS)
+
+
+class PhotometricObs(NamedTuple):
+    uv_ref: jax.Array        # (2,) anchor pixel
+    ref_patch: jax.Array     # (8,) reference intensities at uv_ref + offsets
+    target_img: jax.Array    # () int32 image index of the target camera
+    intr_ref: jax.Array      # (8,)
+    intr_target: jax.Array   # (8,)
+
+
+class PhotometricCams(NamedTuple):
+    pose: jax.Array          # (K, 7)
+    affine: jax.Array        # (K, 2) = (a, b)
+
+
+def bilinear_sample_flat(
+    images_flat: jax.Array, img_idx: jax.Array, uv: jax.Array, H: int, W: int
+) -> jax.Array:
+    """Bilinear sample I[img_idx](uv) from a flat (K*H*W,) buffer.
+
+    uv: (..., 2) float pixel coordinates (x, y).  Out-of-bounds clamps.
+    """
+    x = jnp.clip(uv[..., 0], 0.0, W - 1.001)
+    y = jnp.clip(uv[..., 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    base = img_idx.astype(jnp.int32) * (H * W)
+
+    def at(yy, xx):
+        return images_flat[base + yy * W + xx]
+
+    v00 = at(y0i, x0i)
+    v01 = at(y0i, x0i + 1)
+    v10 = at(y0i + 1, x0i)
+    v11 = at(y0i + 1, x0i + 1)
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def make_residual_fn(model: str, images_flat: jax.Array, H: int, W: int):
+    """Per-observation photometric residual (8,)."""
+    offsets = jnp.asarray(PATCH_OFFSETS)
+
+    def residual(cam_a: PhotometricCams, cam_c: PhotometricCams,
+                 rho: jax.Array, aux: PhotometricObs):
+        offs = offsets.astype(rho.dtype)
+        uv_patch = aux.uv_ref[None, :] + offs                      # (8, 2)
+        dirs = cameras.unproject_unit(model, aux.intr_ref, uv_patch)
+        p_w = se3.act(cam_a.pose, dirs / rho)
+        p_c = se3.act(se3.inverse(cam_c.pose), p_w)
+        uv_t = cameras.project(model, aux.intr_target, p_c)        # (8, 2)
+        I_t = bilinear_sample_flat(
+            images_flat, aux.target_img, uv_t, H, W
+        )
+        a_r, b_r = cam_a.affine[0], cam_a.affine[1]
+        a_t, b_t = cam_c.affine[0], cam_c.affine[1]
+        return (I_t - b_t) - jnp.exp(a_t - a_r) * (aux.ref_patch - b_r)
+
+    return residual
+
+
+def cam_retract(cam: PhotometricCams, delta: jax.Array) -> PhotometricCams:
+    """8-dim camera tangent: [se3(6), da, db]."""
+    return PhotometricCams(
+        pose=se3.right_plus(cam.pose, delta[:6]),
+        affine=cam.affine + delta[6:8],
+    )
+
+
+def make_solver(model: str, images_flat: jax.Array, H: int, W: int):
+    return ba.make_ba_solver(
+        make_residual_fn(model, images_flat, H, W), cam_retract, 8
+    )
+
+
+def default_config() -> ba.BAConfig:
+    # Huber on intensities (DSO uses ~9 greyvalues)
+    return ba.BAConfig(max_iterations=20, huber_delta=9.0)
+
+
+def build_problem(
+    poses: jax.Array,         # (K, 7)
+    affine: jax.Array,        # (K, 2)
+    inv_depth: jax.Array,     # (L,)
+    anchor_cam: jax.Array,    # (O,)
+    target_cam: jax.Array,    # (O,)
+    landmark: jax.Array,      # (O,)
+    uv_ref: jax.Array,        # (O, 2)
+    ref_patch: jax.Array,     # (O, 8)
+    target_img: jax.Array,    # (O,) image index of target camera
+    intr_ref: jax.Array,      # (O, 8)
+    intr_target: jax.Array,   # (O, 8)
+    valid: jax.Array,
+    fixed_cams: jax.Array,
+    lm_valid: jax.Array | None = None,
+) -> ba.BAProblem:
+    if lm_valid is None:
+        lm_valid = jnp.ones(inv_depth.shape, bool)
+    obs = ba.BAObservations(
+        anchor_cam=jnp.asarray(anchor_cam, jnp.int32),
+        target_cam=jnp.asarray(target_cam, jnp.int32),
+        landmark=jnp.asarray(landmark, jnp.int32),
+        aux=PhotometricObs(
+            uv_ref=uv_ref,
+            ref_patch=ref_patch,
+            target_img=jnp.asarray(target_img, jnp.int32),
+            intr_ref=intr_ref,
+            intr_target=intr_target,
+        ),
+        valid=jnp.asarray(valid, inv_depth.dtype),
+    )
+    return ba.BAProblem(
+        cam_states=PhotometricCams(pose=poses, affine=affine),
+        inv_depth=inv_depth,
+        obs=obs,
+        fixed_cams=jnp.asarray(fixed_cams, bool),
+        lm_valid=jnp.asarray(lm_valid, bool),
+    )
+
+
+def extract_ref_patches(
+    images_flat: jax.Array, img_idx: jax.Array, uv_ref: jax.Array,
+    H: int, W: int,
+) -> jax.Array:
+    """Sample the 8-pixel reference patches for all landmarks: (L, 8)."""
+    offs = jnp.asarray(PATCH_OFFSETS, uv_ref.dtype)
+    uv = uv_ref[:, None, :] + offs[None, :, :]
+    return bilinear_sample_flat(
+        images_flat, img_idx[:, None] * jnp.ones((1, PATCH_SIZE), jnp.int32),
+        uv, H, W,
+    )

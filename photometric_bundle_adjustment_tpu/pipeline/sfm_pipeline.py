@@ -1,0 +1,956 @@
+"""Incremental stereo SfM pipeline: the host-side state machine.
+
+Re-design of the reference driver (src/sfm.cpp:1117-2131): the same staged
+pipeline — detect -> match(stereo, then all-pairs or BoW) -> tracks -> init
+scene -> {candidates -> add cameras -> add landmarks -> optimize -> remove
+outliers}* -> done — with the same two-tier candidate policy, outlier
+taxonomy, and thresholds, but with every per-pixel / per-observation /
+per-pair computation batched onto the device:
+
+  * feature extraction: jitted detection+description per image,
+  * all-pairs matching: pairs processed in vmapped chunks (descriptor
+    matching + vectorised 8-point RANSAC in one compiled computation per
+    chunk) — the analog of the reference's TBB parallel_for fan-out
+    (sfm.cpp:1294-1319) mapped onto the chip instead of threads,
+  * BA: the Schur-complement LM solver on struct-of-array views of the map,
+  * projections/outlier flags: one batched kernel over all observations.
+
+Bookkeeping (tracks, candidate sorting, stage logic) stays on the host in
+plain dicts — it is O(matches) pointer-chasing, not flops.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from photometric_bundle_adjustment_tpu.core import cameras as cam_models
+from photometric_bundle_adjustment_tpu.core import se3
+from photometric_bundle_adjustment_tpu.features import (
+    describe,
+    detect,
+    geometry,
+    match,
+    ransac,
+)
+from photometric_bundle_adjustment_tpu.models import geometric_ba
+from photometric_bundle_adjustment_tpu.optim import ba
+from photometric_bundle_adjustment_tpu.pipeline import tracks as tracks_mod
+from photometric_bundle_adjustment_tpu.pipeline.config import SfmConfig
+
+
+class Stage(Enum):
+    """CameraCandidates::Stage (common_types.h:240-247)."""
+
+    COMPUTE_CANDIDATES = 0
+    ADD_CAMERAS = 1
+    ADD_LANDMARKS = 2
+    OPTIMIZE = 3
+    REMOVE_OUTLIERS = 4
+    DONE = 5
+
+
+# outlier flags (common_types.h:276-286)
+OUTLIER_NONE = 0
+OUTLIER_REPROJECTION_HUGE = 1 << 0
+OUTLIER_REPROJECTION_NORMAL = 1 << 1
+OUTLIER_CAMERA_DISTANCE = 1 << 2
+OUTLIER_Z_COORDINATE = 1 << 3
+
+
+@dataclass
+class Landmark:
+    inv_depth: float
+    obs: dict                      # {fcid: feature_id}
+    outlier_obs: dict = field(default_factory=dict)
+
+    def anchor(self):
+        """First observation in FrameCamId order = the reference frame
+        (obs.begin() on the ordered map, map_utils.h:351-352)."""
+        return min(self.obs)
+
+
+@dataclass
+class Candidate:
+    fcid: tuple
+    shared_tracks: list
+    tried: bool = False
+    camera_added: bool = False
+    landmarks_added: bool = False
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    """Round up to the next power of two (recompile-bounded padding)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class SfmPipeline:
+    def __init__(self, images: dict, calib, cfg: SfmConfig = SfmConfig(),
+                 cache_dir: str | None = None, seed: int = 0,
+                 log=print):
+        self.images = images          # {(frame, cam): (H, W) uint8}
+        self.calib = calib            # io.calib_io.Calibration
+        self.cfg = cfg
+        self.model = calib.cam_types[0] if calib.cam_types else "ds"
+        self.cache_dir = cache_dir
+        self.log = log
+        self.key = jax.random.PRNGKey(seed)
+        self.fcids = sorted(images)
+        self.num_frames = len({f for (f, _) in self.fcids})
+
+        # map state
+        self.corners: dict = {}
+        self.matches: dict = {}
+        self.tracks: dict = {}
+        self.outlier_tracks: dict = {}
+        self.cameras: dict = {}
+        self.landmarks: dict = {}
+        self.candidates: list[Candidate] = []
+        self.stage = Stage.COMPUTE_CANDIDATES
+        self.min_localization_inliers = 0
+        self.max_cameras_to_add = 0
+        self.image_projections: dict = {}
+        self.timings: dict = {}
+
+        self._stacked = None  # device-side stacked features
+
+    # ---------------------------------------------------------------- utils
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def intrinsics(self, cam_id: int) -> jnp.ndarray:
+        return jnp.asarray(self.calib.intrinsics[cam_id])
+
+    def _unproject(self, cam_id: int, uv) -> jnp.ndarray:
+        return cam_models.unproject_unit(
+            self.model, self.intrinsics(cam_id), jnp.asarray(uv)
+        )
+
+    def landmark_positions(self, tids: list) -> np.ndarray:
+        """Batched Landmark::get_p (common_types.h:205-217)."""
+        if not tids:
+            return np.zeros((0, 3))
+        anchors = [self.landmarks[t].anchor() for t in tids]
+        uv = np.stack(
+            [self.corners[a]["uv"][self.landmarks[t].obs[a]]
+             for a, t in zip(anchors, tids)]
+        )
+        cam_ids = np.array([a[1] for a in anchors])
+        rho = np.array([self.landmarks[t].inv_depth for t in tids])
+        T = jnp.asarray(np.stack([self.cameras[a] for a in anchors]))
+        intr = jnp.asarray(self.calib.intrinsics)[cam_ids]
+        d = cam_models.unproject_unit(self.model, intr, jnp.asarray(uv))
+        p_w = se3.act(T, d / jnp.asarray(rho)[:, None])
+        return np.asarray(p_w)
+
+    # ------------------------------------------------------------ stage 1-2
+
+    def detect_keypoints(self):
+        t0 = time.time()
+        self.clear_keypoints()
+        F = self.cfg.num_features_per_image
+        for fcid in self.fcids:
+            img = jnp.asarray(self.images[fcid])
+            uv, valid, angles, desc = describe.detect_and_describe(
+                img, num_features=F, rotate_features=self.cfg.rotate_features
+            )
+            self.corners[fcid] = {
+                "uv": np.asarray(uv),
+                "valid": np.asarray(valid),
+                "angles": np.asarray(angles),
+                "desc": np.asarray(desc),
+            }
+        self.timings["detect"] = time.time() - t0
+        self._save_cache("corners")
+        self.log(f"Detected keypoints in {len(self.fcids)} images "
+                 f"({self.timings['detect']:.1f}s)")
+
+    def _stack_features(self):
+        if self._stacked is not None:
+            return self._stacked
+        uv = jnp.asarray(np.stack([self.corners[f]["uv"] for f in self.fcids]))
+        valid = jnp.asarray(
+            np.stack([self.corners[f]["valid"] for f in self.fcids])
+        )
+        desc = jnp.asarray(np.stack([self.corners[f]["desc"] for f in self.fcids]))
+        cam_ids = np.array([c for (_, c) in self.fcids])
+        intr = jnp.asarray(self.calib.intrinsics)[cam_ids]  # (I, 8)
+        bear = cam_models.unproject_unit(self.model, intr[:, None, :], uv)
+        self._stacked = (uv, valid, desc, bear)
+        return self._stacked
+
+    def match_stereo(self):
+        """Stereo pairs with known extrinsics + epipolar check
+        (sfm.cpp:1217-1272)."""
+        t0 = time.time()
+        self.clear_tracks()
+        T_0_1 = np.asarray(
+            se3.compose(
+                se3.inverse(jnp.asarray(self.calib.T_i_c[0])),
+                jnp.asarray(self.calib.T_i_c[1]),
+            )
+        )
+        E = geometry.essential_from_pose(jnp.asarray(T_0_1))
+        num_matches = 0
+        num_inliers = 0
+        self.log(f"Matching {self.num_frames} stereo pairs...")
+        for fid in range(self.num_frames):
+            f1, f2 = (fid, 0), (fid, 1)
+            c1, c2 = self.corners[f1], self.corners[f2]
+            m12 = match.match_descriptors(
+                jnp.asarray(c1["desc"]), jnp.asarray(c2["desc"]),
+                jnp.asarray(c1["valid"]), jnp.asarray(c2["valid"]),
+                self.cfg.feature_match_max_dist,
+                self.cfg.feature_match_test_next_best,
+            )
+            m12 = np.asarray(m12)
+            rows = np.nonzero(m12 >= 0)[0]
+            pairs = np.stack([rows, m12[rows]], -1).astype(np.int32)
+            if len(pairs):
+                b0 = self._unproject(0, c1["uv"][pairs[:, 0]])
+                b1 = self._unproject(1, c2["uv"][pairs[:, 1]])
+                inl = np.asarray(geometry.epipolar_inliers(
+                    b0, b1, E, self.cfg.epipolar_error_threshold
+                ))
+                inliers = pairs[inl]
+            else:
+                inliers = pairs
+            self.matches[(f1, f2)] = {
+                "T_i_j": T_0_1, "matches": pairs, "inliers": inliers,
+            }
+            num_matches += len(pairs)
+            num_inliers += len(inliers)
+        self.timings["match_stereo"] = time.time() - t0
+        self.log(
+            f"Matched {self.num_frames} stereo pairs with {num_inliers} inlier "
+            f"feature matches ({num_matches} total). New total of matched "
+            f"image pairs is {len(self.matches)}."
+        )
+
+    def _pair_worklist(self):
+        """All non-stereo pairs, (later, earlier) ordering (sfm.cpp:1284-1289)."""
+        keys = self.fcids
+        out = []
+        for i in range(len(keys)):
+            for j in range(i):
+                if keys[i][0] != keys[j][0]:
+                    out.append((i, j))
+        return out
+
+    def match_all(self):
+        """Brute-force matching of all non-stereo pairs, chunk-vmapped on
+        device (sfm.cpp:1275-1351)."""
+        t0 = time.time()
+        self.clear_tracks()
+        ids = self._pair_worklist()
+        self.log(f"Brute-force matching {len(ids)} image pairs...")
+        self._run_pair_matching(ids)
+        self.timings["match_all"] = time.time() - t0
+        self._report_pair_matching(ids)
+        self._save_cache("matches")
+
+    def _run_pair_matching(self, ids):
+        cfg = self.cfg
+        uv, valid, desc, bear = self._stack_features()
+        MM = cfg.max_matches_per_pair
+        C = cfg.match_chunk_pairs
+
+        @jax.jit
+        def chunk_fn(i1, i2, key):
+            def one(a, b, k):
+                m12 = match.match_descriptors(
+                    desc[a], desc[b], valid[a], valid[b],
+                    cfg.feature_match_max_dist, cfg.feature_match_test_next_best,
+                )
+                pairs, pvalid, count = match.matches_to_pairs(m12, MM)
+                b0 = bear[a][pairs[:, 0]]
+                b1 = bear[b][pairs[:, 1]]
+                T, inl, n_inl = ransac.ransac_relative_pose(
+                    b0, b1, pvalid, k,
+                    threshold=cfg.relative_pose_ransac_thresh,
+                    min_inliers=cfg.relative_pose_ransac_min_inliers,
+                    num_hypotheses=cfg.ransac_hypotheses,
+                )
+                enough = count > cfg.relative_pose_ransac_min_inliers
+                inl = inl & enough
+                return pairs, pvalid, count, T, inl, jnp.where(enough, n_inl, 0)
+
+            keys = jax.random.split(key, i1.shape[0])
+            return jax.vmap(one)(i1, i2, keys)
+
+        for s in range(0, len(ids), C):
+            chunk = ids[s : s + C]
+            pad = C - len(chunk)
+            i1 = np.array([a for a, _ in chunk] + [0] * pad, np.int32)
+            i2 = np.array([b for _, b in chunk] + [1] * pad, np.int32)
+            pairs, pvalid, count, T, inl, n_inl = jax.tree_util.tree_map(
+                np.asarray,
+                chunk_fn(jnp.asarray(i1), jnp.asarray(i2), self._next_key()),
+            )
+            for ci, (a, b) in enumerate(chunk):
+                n = int(count[ci])
+                all_pairs = pairs[ci][: n].astype(np.int32)
+                inliers = pairs[ci][inl[ci]].astype(np.int32)
+                self.matches[(self.fcids[a], self.fcids[b])] = {
+                    "T_i_j": T[ci], "matches": all_pairs, "inliers": inliers,
+                }
+
+    def _report_pair_matching(self, ids):
+        num_matches = num_inliers = num_success = 0
+        for a, b in ids:
+            md = self.matches[(self.fcids[a], self.fcids[b])]
+            num_matches += len(md["matches"])
+            num_inliers += len(md["inliers"])
+            num_success += int(len(md["inliers"]) > 0)
+        self.log(
+            f"Successfully matched {num_success} out of {len(ids)} image pairs "
+            f"with a total of {num_inliers} inlier feature matches "
+            f"({num_matches} total). New total of matched image pairs is "
+            f"{len(self.matches)}."
+        )
+
+    def match_bow(self):
+        """BoW-candidate matching (sfm.cpp:1355-1452); needs a vocabulary."""
+        from photometric_bundle_adjustment_tpu.features import bow
+
+        if getattr(self, "bow_voc", None) is None:
+            self.log(
+                "Vocabulary not specified. Provide pipeline.bow_voc, or use "
+                "match_all."
+            )
+            return
+        t0 = time.time()
+        self.clear_tracks()
+        db = bow.BowDatabase(self.bow_voc.num_words)
+        idx_of = {f: i for i, f in enumerate(self.fcids)}
+        ids = []
+        for fcid in self.fcids:
+            c = self.corners[fcid]
+            v = self.bow_voc.transform(c["desc"][c["valid"]])
+            res = db.query(v, self.cfg.num_bow_candidates)
+            for other, _score in res:
+                if other[0] != fcid[0]:
+                    ids.append((idx_of[fcid], idx_of[other]))
+            db.insert(fcid, v)
+        self.log(f"Matching {len(ids)} image pairs using BoW...")
+        self._run_pair_matching(ids)
+        self.timings["match_bow"] = time.time() - t0
+        self._report_pair_matching(ids)
+        self._save_cache("matches")
+
+    # ------------------------------------------------------------- stage 3-4
+
+    def build_tracks(self):
+        self.clear_tracks()
+        inlier_matches = {
+            k: v["inliers"] for k, v in self.matches.items() if len(v["inliers"])
+        }
+        self.tracks = tracks_mod.build_tracks(
+            inlier_matches, self.cfg.min_track_length
+        )
+        n_inl = sum(len(v) for v in inlier_matches.values())
+        total_obs = sum(len(t) for t in self.tracks.values())
+        avg = total_obs / max(len(self.tracks), 1)
+        self.log(
+            f"Built {len(self.tracks)} feature tracks from {n_inl} matches. "
+            f"Average track length is {avg:.5g}."
+        )
+
+    def initialize_scene(self):
+        """First stereo pair + triangulation (sfm.cpp:1543-1571,
+        map_utils.h:204-227)."""
+        self.clear_map()
+        fcid0, fcid1 = (0, 0), (0, 1)
+        self.cameras[fcid0] = np.array([0, 0, 0, 0, 0, 0, 1.0])
+        self.cameras[fcid1] = np.asarray(self.calib.T_i_c[1], np.float64)
+        self.add_landmarks_between(fcid0, fcid1)
+        self.log(
+            f"Initialized scene with {len(self.cameras)} cameras and "
+            f"{len(self.landmarks)} landmarks."
+        )
+        self.stage = Stage.OPTIMIZE
+
+    def add_landmarks_between(self, fcid0, fcid1) -> int:
+        """Triangulate shared, not-yet-landmark tracks between two mapped
+        cameras (add_new_landmarks_between_cams, map_utils.h:121-195)."""
+        shared = tracks_mod.tracks_in_images({fcid0, fcid1}, self.tracks)
+        new_tids = [t for t in shared if t not in self.landmarks]
+        if not new_tids:
+            return 0
+        uv0 = np.stack(
+            [self.corners[fcid0]["uv"][self.tracks[t][fcid0]] for t in new_tids]
+        )
+        uv1 = np.stack(
+            [self.corners[fcid1]["uv"][self.tracks[t][fcid1]] for t in new_tids]
+        )
+        f0 = self._unproject(fcid0[1], uv0)
+        f1 = self._unproject(fcid1[1], uv1)
+        T_w_c0 = jnp.asarray(self.cameras[fcid0])
+        T_w_c1 = jnp.asarray(self.cameras[fcid1])
+        T_0_1 = se3.compose(se3.inverse(T_w_c0), T_w_c1)
+        p0 = geometry.triangulate_midpoint(f0, f1, T_0_1)
+        inv_depth = np.asarray(1.0 / jnp.linalg.norm(p0, axis=-1))
+        for t, rho in zip(new_tids, inv_depth):
+            obs = {
+                fcid: feat
+                for fcid, feat in self.tracks[t].items()
+                if fcid in self.cameras
+            }
+            self.landmarks[t] = Landmark(float(rho), obs)
+        return len(new_tids)
+
+    # -------------------------------------------------------- incremental map
+
+    def compute_camera_candidate_set(self):
+        """Two-tier candidate selection (sfm.cpp:1608-1704)."""
+        num_tried = sum(c.tried for c in self.candidates)
+        num_added = sum(c.camera_added for c in self.candidates)
+        num_remaining = len(self.images) - len(self.cameras)
+        previous_attempt_failed = (
+            self.min_localization_inliers > 0 and num_tried > 0 and num_added == 0
+        )
+        self.candidates = []
+        self.stage = Stage.DONE
+        if num_remaining <= 0:
+            self.log(
+                f"Cannot select candidate set. All {len(self.cameras)} have "
+                "already been added. That's it..."
+            )
+            return
+        if not previous_attempt_failed:
+            self.min_localization_inliers = (
+                self.cfg.desired_localization_inlier_count
+            )
+            self.max_cameras_to_add = self.cfg.desired_inlier_max_cameras_to_add
+            self._next_candidate_set()
+        if not self.candidates:
+            if (
+                previous_attempt_failed
+                and self.min_localization_inliers
+                <= self.cfg.minimal_localization_inlier_count
+            ):
+                self.log(
+                    "Previous candidate set with minimal shared track threshold "
+                    f"{self.min_localization_inliers} didn't result in any "
+                    f"added camera, so don't try again. There are "
+                    f"{num_remaining} cameras left. That's it..."
+                )
+                return
+            self.min_localization_inliers = (
+                self.cfg.minimal_localization_inlier_count
+            )
+            self.max_cameras_to_add = self.cfg.minimal_inlier_max_cameras_to_add
+            self._next_candidate_set()
+            if not self.candidates:
+                self.log(
+                    "Did not find any camera candidates (shared track thresh: "
+                    f"{self.min_localization_inliers}). There are "
+                    f"{num_remaining} cameras left. That's it..."
+                )
+                return
+        self.log(
+            f"Selected {len(self.candidates)} camera candidates from "
+            f"{num_remaining} remaining cameras (shared track thresh: "
+            f"{self.min_localization_inliers})."
+        )
+        self.stage = Stage.ADD_CAMERAS
+
+    def _next_candidate_set(self):
+        cands = []
+        for fcid in self.fcids:
+            if fcid in self.cameras:
+                continue
+            shared = tracks_mod.shared_tracks(fcid, self.tracks, self.landmarks)
+            if len(shared) >= self.min_localization_inliers:
+                cands.append(Candidate(fcid, shared))
+        cands.sort(key=lambda c: -len(c.shared_tracks))
+        self.candidates = cands
+
+    def localize_camera(self, fcid, shared_track_ids):
+        """PnP RANSAC + refinement (localize_camera, map_utils.h:242-302)."""
+        uv = np.stack(
+            [self.corners[fcid]["uv"][self.tracks[t][fcid]]
+             for t in shared_track_ids]
+        )
+        bearings = self._unproject(fcid[1], uv)
+        points = self.landmark_positions(shared_track_ids)
+        M = _bucket(len(shared_track_ids))
+        pad = M - len(shared_track_ids)
+        bearings = jnp.concatenate(
+            [bearings, jnp.zeros((pad, 3), bearings.dtype).at[:, 2].set(1.0)]
+        )
+        points = jnp.asarray(
+            np.concatenate([points, np.tile([0, 0, 1.0], (pad, 1))])
+        )
+        valid = jnp.arange(M) < len(shared_track_ids)
+        T_w_c, inl = ransac.ransac_pnp(
+            bearings, points, valid, self._next_key(),
+            pixel_threshold=self.cfg.reprojection_error_pnp_inlier_threshold_pixel,
+            num_hypotheses=self.cfg.ransac_hypotheses,
+        )
+        inl = np.asarray(inl)[: len(shared_track_ids)]
+        inlier_tids = [t for t, ok in zip(shared_track_ids, inl) if ok]
+        return np.asarray(T_w_c), inlier_tids
+
+    def add_next_camera(self):
+        """Try the next untried candidate (add_next_camera, sfm.cpp:1708-1822)."""
+        candidate = None
+        i = 0
+        num_added = sum(c.camera_added for c in self.candidates)
+        for idx, c in enumerate(self.candidates):
+            if not c.camera_added and not c.tried:
+                c.tried = True
+                candidate = c
+                i = idx
+                break
+        else:
+            i = len(self.candidates)
+
+        if candidate is None:
+            self.log(
+                f"No more candidates (out of {len(self.candidates)}) to try. "
+                f"Total added {num_added}."
+            )
+        elif num_added < self.max_cameras_to_add:
+            fcid = candidate.fcid
+            T_w_c, inlier_tids = self.localize_camera(
+                fcid, candidate.shared_tracks
+            )
+            if self.cfg.always_add_all_observations:
+                inlier_tids = candidate.shared_tracks
+            if len(inlier_tids) < self.min_localization_inliers:
+                self.log(
+                    f"Cannot add camera {fcid} ({i + 1} of "
+                    f"{len(self.candidates)}) with {len(inlier_tids)} "
+                    "localization inlier "
+                    f"({len(candidate.shared_tracks) - len(inlier_tids)} "
+                    "outlier ignored)."
+                )
+            else:
+                self.cameras[fcid] = T_w_c
+                candidate.camera_added = True
+                num_added += 1
+                inlier_set = set(inlier_tids)
+                for tid in candidate.shared_tracks:
+                    if tid in inlier_set:
+                        self.landmarks[tid].obs[fcid] = self.tracks[tid][fcid]
+                    else:
+                        self.landmarks[tid].outlier_obs[fcid] = (
+                            self.tracks[tid][fcid]
+                        )
+                self.log(
+                    f"Camera {fcid} ({i + 1} of {len(self.candidates)}) added "
+                    f"to map observing {len(inlier_tids)} landmarks "
+                    f"({len(candidate.shared_tracks) - len(inlier_tids)} "
+                    "outlier ignored)."
+                )
+
+        more_to_add = True
+        if i + 1 >= len(self.candidates):
+            more_to_add = False
+        elif num_added >= self.max_cameras_to_add:
+            self.log(
+                f"Reached maximum number of {num_added} (out of "
+                f"{len(self.candidates)}) cameras to add in one go."
+            )
+            more_to_add = False
+        if not more_to_add:
+            if any(c.camera_added for c in self.candidates):
+                self.stage = Stage.ADD_LANDMARKS
+            else:
+                self.stage = Stage.COMPUTE_CANDIDATES
+
+    def add_new_landmarks(self):
+        """Triangulate new landmarks for the next added camera
+        (sfm.cpp:1826-1880)."""
+        candidate = None
+        for c in self.candidates:
+            if c.camera_added and not c.landmarks_added:
+                c.landmarks_added = True
+                candidate = c
+                break
+        more_to_add = False
+        if candidate is None:
+            self.log("No more cameras for which to add landmarks.")
+        else:
+            fcid = candidate.fcid
+            n_new = 0
+            for fcid_existing in list(self.cameras):
+                if fcid_existing != fcid:
+                    n_new += self.add_landmarks_between(fcid_existing, fcid)
+            self.log(f"Added {n_new} new landmarks for image {fcid}.")
+            more_to_add = sum(c.landmarks_added for c in self.candidates) < sum(
+                c.camera_added for c in self.candidates
+            )
+        if not more_to_add:
+            self.stage = Stage.OPTIMIZE
+
+    # ------------------------------------------------------------------- BA
+
+    def _build_ba_problem(self):
+        cam_list = sorted(self.cameras)
+        cam_index = {f: i for i, f in enumerate(cam_list)}
+        lm_list = sorted(self.landmarks)
+        lm_index = {t: i for i, t in enumerate(lm_list)}
+
+        K = _bucket(len(cam_list), 4)
+        L = _bucket(len(lm_list), 64)
+
+        poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (K, 1))
+        for f, i in cam_index.items():
+            poses[i] = self.cameras[f]
+        rho = np.full(L, 0.5)
+        anchor_uv = np.zeros((L, 2))
+        anchor_cam_idx = np.zeros(L, np.int32)
+        anchor_intr = np.zeros(L, np.int32)
+        for t, i in lm_index.items():
+            lm = self.landmarks[t]
+            a = lm.anchor()
+            rho[i] = lm.inv_depth
+            anchor_uv[i] = self.corners[a]["uv"][lm.obs[a]]
+            anchor_cam_idx[i] = cam_index[a]
+            anchor_intr[i] = a[1]
+
+        oa, oc, ol, uv_t, uv_r, ir, it = [], [], [], [], [], [], []
+        for t, i in lm_index.items():
+            lm = self.landmarks[t]
+            a = lm.anchor()
+            for fcid, feat in sorted(lm.obs.items())[1:]:  # skip anchor obs
+                oa.append(anchor_cam_idx[i])
+                oc.append(cam_index[fcid])
+                ol.append(i)
+                uv_t.append(self.corners[fcid]["uv"][feat])
+                uv_r.append(anchor_uv[i])
+                ir.append(anchor_intr[i])
+                it.append(fcid[1])
+        O = _bucket(max(len(oa), 1))
+        pad = O - len(oa)
+        intr_tab = np.asarray(self.calib.intrinsics)
+
+        def parr(x, shape, fill=0):
+            arr = np.asarray(x)
+            if pad:
+                arr = np.concatenate([arr, np.full((pad,) + shape, fill, arr.dtype)])
+            return arr
+
+        valid = np.concatenate([np.ones(len(oa)), np.zeros(pad)])
+        fixed = np.zeros(K, bool)
+        for f in [(0, 0), (0, 1)]:  # gauge (sfm.cpp:1903)
+            if f in cam_index:
+                fixed[cam_index[f]] = True
+        fixed[len(cam_list):] = True  # padding cameras held fixed
+        lm_valid = np.arange(L) < len(lm_list)
+
+        problem = geometric_ba.build_problem(
+            poses=jnp.asarray(poses),
+            inv_depth=jnp.asarray(rho),
+            anchor_cam=parr(oa, ()) if oa else np.zeros(O, np.int32),
+            target_cam=parr(oc, ()) if oc else np.zeros(O, np.int32),
+            landmark=parr(ol, ()) if ol else np.zeros(O, np.int32),
+            uv_target=jnp.asarray(
+                parr(np.array(uv_t).reshape(-1, 2), (2,))
+                if uv_t else np.zeros((O, 2))
+            ),
+            uv_ref=jnp.asarray(
+                parr(np.array(uv_r).reshape(-1, 2), (2,))
+                if uv_r else np.zeros((O, 2))
+            ),
+            intr_ref=jnp.asarray(intr_tab[parr(ir, ()) if ir else np.zeros(O, int)]),
+            intr_target=jnp.asarray(
+                intr_tab[parr(it, ()) if it else np.zeros(O, int)]
+            ),
+            valid=jnp.asarray(valid, bool),
+            fixed_cams=jnp.asarray(fixed),
+            lm_valid=jnp.asarray(lm_valid),
+        )
+        return problem, cam_list, lm_list
+
+    def optimize(self):
+        """Bundle adjustment stage (sfm.cpp:1883-1925)."""
+        t0 = time.time()
+        num_obs = sum(len(l.obs) for l in self.landmarks.values())
+        num_new = (
+            len(self.cameras)
+            if self.min_localization_inliers == 0
+            else sum(c.camera_added for c in self.candidates)
+        )
+        self.log(
+            f"Optimizing map with {len(self.cameras)} cameras ({num_new} new), "
+            f"{len(self.landmarks)} points and {num_obs} observations."
+        )
+        problem, cam_list, lm_list = self._build_ba_problem()
+        cfg = ba.BAConfig(
+            max_iterations=20,
+            huber_delta=self.cfg.reprojection_error_huber_pixel,
+        )
+        solved, res = geometric_ba.bundle_adjustment(problem, self.model, cfg)
+        poses = np.asarray(solved.cam_states)
+        rho = np.asarray(solved.inv_depth)
+        for i, f in enumerate(cam_list):
+            self.cameras[f] = poses[i]
+        for i, t in enumerate(lm_list):
+            self.landmarks[t].inv_depth = float(rho[i])
+        self.timings.setdefault("ba", 0.0)
+        self.timings["ba"] += time.time() - t0
+        self.timings["ba_iters"] = self.timings.get("ba_iters", 0) + int(
+            res.iterations
+        )
+        if self.cfg.ba_verbose >= 1:
+            self.log(
+                f"BA: cost {float(res.initial_cost):.6e} -> "
+                f"{float(res.cost):.6e} in {int(res.iterations)} iterations "
+                f"({time.time() - t0:.2f}s)"
+            )
+        if self.stage == Stage.OPTIMIZE:
+            self.stage = Stage.REMOVE_OUTLIERS
+
+    # ------------------------------------------------------------- outliers
+
+    def compute_projections(self):
+        """Batched reprojection of every observation, with outlier flags
+        (compute_projections + set_outlier_flags, sfm.cpp:1928-2008)."""
+        self.image_projections = {}
+        rows = []  # (tid, fcid, feat, is_outlier_obs)
+        for tid, lm in self.landmarks.items():
+            for fcid, feat in lm.obs.items():
+                rows.append((tid, fcid, feat, False))
+            for fcid, feat in lm.outlier_obs.items():
+                rows.append((tid, fcid, feat, True))
+        if not rows:
+            return {}
+        tids = [r[0] for r in rows]
+        p_w = self.landmark_positions(tids)  # batched get_p per row's landmark
+        T = jnp.asarray(np.stack([self.cameras[r[1]] for r in rows]))
+        uv_meas = np.stack([self.corners[r[1]]["uv"][r[2]] for r in rows])
+        cam_ids = np.array([r[1][1] for r in rows])
+        intr = jnp.asarray(self.calib.intrinsics)[cam_ids]
+        p_c = se3.act(se3.inverse(T), jnp.asarray(p_w))
+        uv_proj = cam_models.project(self.model, intr, p_c)
+        err = np.asarray(jnp.linalg.norm(jnp.asarray(uv_meas) - uv_proj, axis=-1))
+        dist = np.asarray(jnp.linalg.norm(p_c, axis=-1))
+        zc = np.asarray(p_c[:, 2])
+
+        cfg = self.cfg
+        flags = np.zeros(len(rows), np.int32)
+        flags |= np.where(
+            err > cfg.reprojection_error_outlier_threshold_huge_pixel,
+            OUTLIER_REPROJECTION_HUGE, 0,
+        )
+        flags |= np.where(
+            err > cfg.reprojection_error_outlier_threshold_normal_pixel,
+            OUTLIER_REPROJECTION_NORMAL, 0,
+        )
+        flags |= np.where(
+            dist < cfg.camera_center_distance_outlier_threshold_meter,
+            OUTLIER_CAMERA_DISTANCE, 0,
+        )
+        flags |= np.where(
+            zc < cfg.z_coordinate_outlier_threshold_meter,
+            OUTLIER_Z_COORDINATE, 0,
+        )
+
+        track_proj: dict = {}
+        for i, (tid, fcid, feat, is_outlier) in enumerate(rows):
+            rec = {
+                "fcid": fcid, "err": float(err[i]), "flags": int(flags[i]),
+                "uv_proj": np.asarray(uv_proj[i]),
+            }
+            self.image_projections.setdefault(fcid, {"obs": [], "outlier_obs": []})
+            if is_outlier:
+                self.image_projections[fcid]["outlier_obs"].append(rec)
+            else:
+                self.image_projections[fcid]["obs"].append(rec)
+                track_proj.setdefault(tid, []).append(rec)
+        return track_proj
+
+    def remove_outlier_landmarks(self):
+        """Outlier taxonomy + removal policy (sfm.cpp:2028-2131)."""
+        track_proj = self.compute_projections()
+        n_normal = n_huge = n_dist = n_z = 0
+        any_severe = any(
+            rec["flags"] & ~OUTLIER_REPROJECTION_NORMAL
+            for recs in track_proj.values()
+            for rec in recs
+        )
+        removed = []
+        for tid, recs in track_proj.items():
+            remove = False
+            normal_counted = False
+            for rec in recs:
+                if rec["flags"] & OUTLIER_REPROJECTION_HUGE:
+                    n_huge += 1
+                    remove = True
+                    break
+                if rec["flags"] & OUTLIER_REPROJECTION_NORMAL:
+                    if not normal_counted:
+                        n_normal += 1
+                        normal_counted = True
+                    if not any_severe:
+                        remove = True
+                        break
+                if rec["flags"] & OUTLIER_CAMERA_DISTANCE:
+                    remove = True
+                    n_dist += 1
+                    break
+                if rec["flags"] & OUTLIER_Z_COORDINATE:
+                    remove = True
+                    n_z += 1
+                    break
+            if remove:
+                removed.append(tid)
+        for tid in removed:
+            if tid in self.tracks:
+                self.outlier_tracks[tid] = self.tracks.pop(tid)
+            self.landmarks.pop(tid, None)
+
+        num_total = (
+            (n_huge + n_dist + n_z) if any_severe else n_normal
+        )
+        if num_total > 0:
+            if any_severe:
+                self.log(
+                    f"{num_total} outliers removed ({n_huge} for huge repr. "
+                    f"error ({n_normal} not removed), {n_dist} too close to "
+                    f"camera center, {n_z} too small z)."
+                )
+            else:
+                self.log(
+                    f"{num_total} outliers removed for too large repr. error."
+                )
+        if self.stage == Stage.REMOVE_OUTLIERS:
+            self.stage = (
+                Stage.OPTIMIZE if num_total > 0 else Stage.COMPUTE_CANDIDATES
+            )
+
+    # ----------------------------------------------------------- state machine
+
+    def next_step(self) -> bool:
+        """One pipeline step; returns False when done (next_step,
+        sfm.cpp:1117-1167)."""
+        if not self.corners:
+            if not self._load_cache("corners"):
+                self.detect_keypoints()
+            return True
+        if not self.matches:
+            if not self._load_cache("matches"):
+                self.match_stereo()
+                if self.cfg.use_match_bow:
+                    self.match_bow()
+                else:
+                    self.match_all()
+            return True
+        if not self.tracks:
+            self.build_tracks()
+            return True
+        if not self.cameras:
+            self.initialize_scene()
+            return True
+        if self.stage == Stage.COMPUTE_CANDIDATES:
+            self.compute_camera_candidate_set()
+            return True
+        if self.stage == Stage.ADD_CAMERAS:
+            self.add_next_camera()
+            return True
+        if self.stage == Stage.ADD_LANDMARKS:
+            self.add_new_landmarks()
+            return True
+        if self.stage == Stage.OPTIMIZE:
+            self.optimize()
+            return True
+        if self.stage == Stage.REMOVE_OUTLIERS:
+            self.remove_outlier_landmarks()
+            return True
+        self.log(self.summary())
+        return False
+
+    def run(self) -> None:
+        while self.next_step():
+            pass
+
+    def summary(self) -> str:
+        num_obs = sum(len(l.obs) for l in self.landmarks.values())
+        num_outlier_obs = sum(
+            len(l.outlier_obs) for l in self.landmarks.values()
+        )
+        return (
+            f"The map has {len(self.cameras)} cameras and "
+            f"{len(self.landmarks)} landmarks with {num_obs} observations. "
+            f"{len(self.outlier_tracks)} landmarks were removed as outliers "
+            f"and {num_outlier_obs} observations were marked as outliers."
+        )
+
+    # ----------------------------------------------------------------- caches
+
+    def _cache_path(self, name):
+        import os
+
+        if self.cache_dir is None:
+            return None
+        return os.path.join(self.cache_dir, f"{name}.pkl")
+
+    def _save_cache(self, name):
+        path = self._cache_path(name)
+        if path is None:
+            return
+        data = self.corners if name == "corners" else self.matches
+        with open(path, "wb") as f:
+            pickle.dump({"n_images": len(self.images), "data": data}, f)
+        self.log(f"Saved {name} as {path}")
+
+    def _load_cache(self, name) -> bool:
+        import os
+
+        path = self._cache_path(name)
+        if path is None or not os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        if blob["n_images"] != len(self.images):
+            self.log(
+                f"Ignoring cached {name} from {path} (contains {name} for "
+                f"{blob['n_images']} images, but we have now loaded "
+                f"{len(self.images)} images)."
+            )
+            return False
+        if name == "corners":
+            self.corners = blob["data"]
+        else:
+            self.matches = blob["data"]
+        self.log(f"Loaded cached {name} from {path}")
+        return True
+
+    # ------------------------------------------------------------------ clears
+
+    def clear_keypoints(self):
+        self.corners = {}
+        self._stacked = None
+        self.clear_matches()
+
+    def clear_matches(self):
+        self.matches = {}
+        self.clear_tracks()
+
+    def clear_tracks(self):
+        self.tracks = {}
+        self.outlier_tracks = {}
+        self.clear_map()
+
+    def clear_map(self):
+        self.cameras = {}
+        self.landmarks = {}
+        self.candidates = []
+        self.stage = Stage.COMPUTE_CANDIDATES
+        self.min_localization_inliers = 0
+        self.max_cameras_to_add = 0
+        self.image_projections = {}

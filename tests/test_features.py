@@ -1,0 +1,163 @@
+"""Front-end tests: detection on synthetic corners, descriptor matching
+semantics, epipolar filtering, RANSAC relative pose and PnP on synthetic
+correspondences with outliers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photometric_bundle_adjustment_tpu.core import cameras, se3
+from photometric_bundle_adjustment_tpu.features import (
+    describe,
+    detect,
+    geometry,
+    match,
+    ransac,
+)
+
+
+def checkerboard(h=120, w=160, sq=16):
+    y, x = np.mgrid[0:h, 0:w]
+    return (((y // sq) + (x // sq)) % 2 * 255).astype(np.uint8)
+
+
+def test_detect_finds_checker_corners():
+    img = jnp.asarray(checkerboard())
+    uv, valid, score = detect.detect_keypoints(img, num_features=100, min_distance=4)
+    n = int(jnp.sum(valid))
+    assert n >= 10
+    # every detection should be near a grid crossing (multiple of 16)
+    pts = np.asarray(uv[np.asarray(valid)])
+    off = np.abs((pts + 0.5) % 16 - 8)  # distance from cell centre
+    dist_to_cross = np.abs((pts - 0.0 + 8) % 16 - 8)
+    assert np.all(dist_to_cross <= 2.5), pts[:5]
+
+
+def test_descriptors_rotation_consistency():
+    """Descriptors should be invariant-ish under image rotation thanks to
+    the orientation normalisation (keypoints.h rotate_features)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (200, 200)).astype(np.uint8)
+    img = jnp.asarray(img)
+    uv = jnp.asarray([[100.0, 100.0], [80.0, 120.0]])
+    ang = describe.compute_angles(img, uv)
+    d = describe.compute_descriptors(img, uv, ang)
+    assert d.shape == (2, 8) and d.dtype == jnp.uint32
+    # descriptor of identical keypoint must match itself
+    d2 = describe.compute_descriptors(img, uv, ang)
+    assert bool(jnp.all(d == d2))
+
+
+def test_match_descriptors_semantics():
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 2**32, (40, 8), dtype=np.uint32)
+    d1 = jnp.asarray(base)
+    # d2 = permuted d1 with a few bit flips (distance << threshold)
+    perm = rng.permutation(40)
+    noisy = base[perm].copy()
+    noisy[:, 0] ^= 0b101  # 2-3 bit flips
+    d2 = jnp.asarray(noisy)
+    v = jnp.ones(40, bool)
+    m = match.match_descriptors(d1, d2, v, v, threshold=70, ratio=1.2)
+    m = np.asarray(m)
+    # every i should match the position of i in perm
+    expect = np.argsort(perm)
+    assert (m == expect).mean() > 0.95
+
+    pairs, pvalid, count = match.matches_to_pairs(jnp.asarray(m), 64)
+    assert int(count) == int((m >= 0).sum())
+
+
+def test_match_threshold_rejects():
+    rng = np.random.default_rng(1)
+    d1 = jnp.asarray(rng.integers(0, 2**32, (10, 8), dtype=np.uint32))
+    d2 = jnp.asarray(rng.integers(0, 2**32, (10, 8), dtype=np.uint32))
+    v = jnp.ones(10, bool)
+    # random 256-bit strings have expected distance 128 >> 70
+    m = match.match_descriptors(d1, d2, v, v, threshold=70, ratio=1.2)
+    assert int(jnp.sum(m >= 0)) == 0
+
+
+def make_two_view(M=120, outlier_frac=0.25, seed=0):
+    rng = np.random.default_rng(seed)
+    T_0_1 = se3.exp(jnp.asarray([0.4, 0.05, -0.1, 0.02, -0.04, 0.03]))
+    pts1 = np.stack(
+        [rng.uniform(-2, 2, M), rng.uniform(-2, 2, M), rng.uniform(3, 12, M)], -1
+    )
+    p1 = jnp.asarray(pts1)
+    p0 = se3.act(T_0_1, p1)
+    f0 = p0 / jnp.linalg.norm(p0, axis=-1, keepdims=True)
+    f1 = p1 / jnp.linalg.norm(p1, axis=-1, keepdims=True)
+    n_out = int(M * outlier_frac)
+    bad = rng.normal(size=(n_out, 3))
+    bad[:, 2] = np.abs(bad[:, 2]) + 1
+    bad /= np.linalg.norm(bad, axis=-1, keepdims=True)
+    f1 = f1.at[:n_out].set(jnp.asarray(bad))
+    is_inlier = np.ones(M, bool)
+    is_inlier[:n_out] = False
+    return T_0_1, f0, f1, is_inlier
+
+
+def test_ransac_relative_pose():
+    T_gt, f0, f1, gt_inl = make_two_view()
+    valid = jnp.ones(f0.shape[0], bool)
+    T, inl, n = ransac.ransac_relative_pose(
+        f0, f1, valid, jax.random.PRNGKey(0), threshold=1e-7, min_inliers=16
+    )
+    assert int(n) >= int(0.9 * gt_inl.sum())
+    # no outlier should be selected
+    assert not np.any(np.asarray(inl)[~gt_inl])
+    # rotation matches; translation direction matches (scale-free)
+    R_err = float(
+        jnp.linalg.norm(se3.so3_log(se3.quat_mul(
+            se3.quat_conj(se3.rotation(T)), se3.rotation(T_gt))))
+    )
+    assert R_err < 1e-3
+    t_gt = se3.translation(T_gt) / jnp.linalg.norm(se3.translation(T_gt))
+    t_err = float(jnp.linalg.norm(se3.translation(T) - t_gt))
+    assert t_err < 1e-3
+
+
+def test_epipolar_filter():
+    T_gt, f0, f1, gt_inl = make_two_view(outlier_frac=0.3)
+    E = geometry.essential_from_pose(T_gt)
+    mask = np.asarray(geometry.epipolar_inliers(f0, f1, E, 1e-3))
+    assert mask[gt_inl].mean() == 1.0
+    assert mask[~gt_inl].mean() < 0.2
+
+
+def test_triangulate_midpoint_exact():
+    T_0_1, f0, f1, _ = make_two_view(outlier_frac=0.0)
+    p0 = geometry.triangulate_midpoint(f0, f1, T_0_1)
+    # reproject
+    n0 = p0 / jnp.linalg.norm(p0, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(n0), np.asarray(f0), atol=1e-9)
+
+
+def test_ransac_pnp():
+    rng = np.random.default_rng(5)
+    M = 100
+    T_w_c = se3.exp(jnp.asarray([0.3, -0.2, 0.1, 0.1, 0.05, -0.08]))
+    p_c = np.stack(
+        [rng.uniform(-2, 2, M), rng.uniform(-2, 2, M), rng.uniform(2, 10, M)], -1
+    )
+    p_c = jnp.asarray(p_c)
+    p_w = se3.act(T_w_c, p_c)
+    f = p_c / jnp.linalg.norm(p_c, axis=-1, keepdims=True)
+    # 30% outliers
+    n_out = 30
+    bad = rng.normal(size=(n_out, 3))
+    bad[:, 2] = np.abs(bad[:, 2]) + 0.5
+    bad /= np.linalg.norm(bad, axis=-1, keepdims=True)
+    f = f.at[:n_out].set(jnp.asarray(bad))
+    valid = jnp.ones(M, bool)
+
+    T_est, inl = ransac.ransac_pnp(
+        f, p_w, valid, jax.random.PRNGKey(1), pixel_threshold=3.0
+    )
+    err = float(jnp.linalg.norm(se3.log(se3.compose(se3.inverse(T_w_c), T_est))))
+    assert err < 1e-3, err
+    inl = np.asarray(inl)
+    assert inl[n_out:].mean() > 0.95
+    assert inl[:n_out].mean() < 0.1

@@ -1,0 +1,72 @@
+"""End-to-end incremental SfM on a small real EuRoC subset (CPU):
+the full state machine must add all cameras, build a consistent map, and
+produce sub-pixel mean reprojection error."""
+
+import os
+
+import numpy as np
+import pytest
+
+from photometric_bundle_adjustment_tpu.io import calib_io, dataset
+from photometric_bundle_adjustment_tpu.pipeline import tracks as tracks_mod
+from photometric_bundle_adjustment_tpu.pipeline.config import SfmConfig
+from photometric_bundle_adjustment_tpu.pipeline.sfm_pipeline import SfmPipeline
+
+DATA = "/root/reference/data/euroc_V1"
+CALIB = "/root/reference/data/euroc_calib"
+
+
+def test_union_find_tracks():
+    matches = {
+        ((0, 0), (0, 1)): [(1, 2), (3, 4)],
+        ((0, 1), (1, 0)): [(2, 7), (4, 9)],
+        ((1, 0), (1, 1)): [(7, 5)],
+    }
+    tracks = tracks_mod.build_tracks(matches, min_track_length=3)
+    # track {(0,0):1, (0,1):2, (1,0):7, (1,1):5} has length 4
+    lens = sorted(len(t) for t in tracks.values())
+    assert lens == [3, 4]
+
+    # conflicting track (same image twice) must be dropped
+    matches2 = {
+        ((0, 0), (0, 1)): [(1, 2)],
+        ((0, 1), (1, 0)): [(2, 7)],
+        ((1, 0), (0, 0)): [(7, 8)],  # loops back to image (0,0), new feature
+    }
+    tracks2 = tracks_mod.build_tracks(matches2, min_track_length=2)
+    assert len(tracks2) == 0
+
+
+@pytest.fixture(scope="module")
+def mini_pipeline():
+    if not os.path.isdir(DATA):
+        pytest.skip("reference dataset not available")
+    images, _ = dataset.load_images(DATA, max_frames=3)
+    # intrinsics produced by our own calibration app on euroc_calib
+    calib = calib_io.load_calibration(
+        os.path.join(os.path.dirname(__file__), "data", "opt_calib_ds.json")
+    )
+    cfg = SfmConfig(match_chunk_pairs=8)
+    pipe = SfmPipeline(images, calib, cfg, seed=0, log=lambda *a: None)
+    pipe.run()
+    return pipe
+
+
+def test_pipeline_completes(mini_pipeline):
+    pipe = mini_pipeline
+    assert len(pipe.corners) == 6
+    assert len(pipe.tracks) > 50
+    assert len(pipe.cameras) >= 2
+    assert len(pipe.landmarks) > 20
+    # observations must reference mapped cameras only
+    for lm in pipe.landmarks.values():
+        for fcid in lm.obs:
+            assert fcid in pipe.cameras
+
+
+def test_pipeline_reprojection_quality(mini_pipeline):
+    pipe = mini_pipeline
+    track_proj = pipe.compute_projections()
+    errs = [rec["err"] for recs in track_proj.values() for rec in recs]
+    assert len(errs) > 0
+    assert float(np.mean(errs)) < 3.0, f"mean reprojection {np.mean(errs)}px"
