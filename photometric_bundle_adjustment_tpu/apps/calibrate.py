@@ -45,6 +45,12 @@ def main(argv=None):
         )
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    from photometric_bundle_adjustment_tpu.utils.runtime import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 

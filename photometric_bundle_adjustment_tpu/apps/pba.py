@@ -1,11 +1,10 @@
-"""Incremental stereo SfM app (reference: src/sfm.cpp, headless mode).
+"""Photometric bundle adjustment app (the pba2 capability): run geometric
+SfM, then refine the map photometrically with direct intensity-patch
+residuals.
 
-    python -m photometric_bundle_adjustment_tpu.apps.sfm \
+    python -m photometric_bundle_adjustment_tpu.apps.pba \
         --dataset-path /path/to/euroc_V1 --cam-calib opt_calib.json \
-        --max-frames 0 --show-gui false
-
-Runs the staged pipeline to completion (next_step loop, sfm.cpp:472-478),
-prints the same progress counters the reference emits, and saves the map.
+        --max-frames 0
 """
 
 from __future__ import annotations
@@ -16,17 +15,19 @@ import time
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser(description="Incremental stereo SfM")
+    parser = argparse.ArgumentParser(description="Photometric bundle adjustment")
     parser.add_argument("--dataset-path", required=True)
-    parser.add_argument("--voc-path", default="")
     parser.add_argument("--cam-calib", default="opt_calib.json")
     parser.add_argument("--max-frames", type=int, default=0)
-    parser.add_argument("--show-gui", default="false",
-                        help="Accepted for CLI parity; this app is headless.")
+    parser.add_argument("--show-gui", default="false")
     parser.add_argument("--cache-dir", default=None)
-    parser.add_argument("--map-out", default="map.pkl")
+    parser.add_argument("--map-out", default="map_pba.pkl")
+    parser.add_argument("--pba-iterations", type=int, default=20)
+    parser.add_argument("--huber-intensity", type=float, default=9.0)
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     args = parser.parse_args(argv)
+
+    import os
 
     import jax
 
@@ -40,60 +41,41 @@ def main(argv=None):
     enable_compilation_cache()
 
     from photometric_bundle_adjustment_tpu.io import calib_io, dataset
+    from photometric_bundle_adjustment_tpu.pipeline import pba_refine
     from photometric_bundle_adjustment_tpu.pipeline.config import SfmConfig
     from photometric_bundle_adjustment_tpu.pipeline.sfm_pipeline import SfmPipeline
 
-    import os
-
     if not os.path.exists(args.cam_calib):
-        parser.error(
-            f"could not load camera calibration {args.cam_calib}"
-        )
+        parser.error(f"could not load camera calibration {args.cam_calib}")
     images, timestamps = dataset.load_images(args.dataset_path, args.max_frames)
     print(f"Loaded {len(timestamps)} image pairs")
     calib = calib_io.load_calibration(args.cam_calib)
-    print(
-        f"Loaded camera from {args.cam_calib} with models "
-        + " ".join(calib.cam_types)
-    )
 
-    cfg = SfmConfig(use_match_bow=bool(args.voc_path))
-    pipe = SfmPipeline(images, calib, cfg, cache_dir=args.cache_dir)
-    if args.voc_path:
-        from photometric_bundle_adjustment_tpu.features import bow
-
-        pipe.bow_voc = bow.BowVocabulary.load(args.voc_path)
-
+    pipe = SfmPipeline(images, calib, SfmConfig(), cache_dir=args.cache_dir)
     t0 = time.time()
     pipe.run()
-    wall = time.time() - t0
-    print(pipe.summary())
-    print(
-        "Timings: "
-        + ", ".join(f"{k}={v:.2f}" for k, v in sorted(pipe.timings.items()))
-        + f", total={wall:.2f}s"
+    print(f"Geometric SfM done in {time.time() - t0:.1f}s: {pipe.summary()}")
+
+    res = pba_refine.refine_photometric(
+        pipe, max_iterations=args.pba_iterations,
+        huber_delta=args.huber_intensity,
     )
 
     with open(args.map_out, "wb") as f:
         pickle.dump(
             {
                 "cameras": pipe.cameras,
+                "affine": getattr(pipe, "photometric_affine", {}),
                 "landmarks": {
                     t: {"inv_depth": l.inv_depth, "obs": l.obs,
                         "outlier_obs": l.outlier_obs}
                     for t, l in pipe.landmarks.items()
                 },
-                "tracks": pipe.tracks,
-                "outlier_tracks": pipe.outlier_tracks,
                 "timestamps": timestamps,
             },
             f,
         )
-    n_obs = sum(len(l.obs) for l in pipe.landmarks.values())
-    print(
-        f"Saved map as {args.map_out} ({len(pipe.cameras)} cameras, "
-        f"{len(pipe.landmarks)} landmarks, {n_obs} observations)"
-    )
+    print(f"Saved photometric map as {args.map_out}")
     return 0
 
 

@@ -1,0 +1,156 @@
+"""Photometric refinement of a geometric SfM map (the pba2 capability,
+BASELINE config #4): take the geometric map (poses + anchored inverse
+depths) as seed, build the direct intensity-patch problem over the real
+images, and run the photometric Schur-LM solver.
+
+Mirrors the structure the reference's pba2 branch adds on top of main
+(SURVEY §0): same anchor-frame inverse-depth parameterisation, residuals
+switch from 2-pixel reprojection to 8-pixel intensity patches with affine
+brightness per (frame, cam) image.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from photometric_bundle_adjustment_tpu.models import photometric_ba as pba
+from photometric_bundle_adjustment_tpu.optim import ba
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def build_photometric_problem(pipe, dtype=jnp.float32):
+    """Construct (problem, images_flat, H, W, cam_list, lm_list) from a
+    finished SfmPipeline (or any object with .cameras/.landmarks/.corners/
+    .images/.calib)."""
+    cam_list = sorted(pipe.cameras)
+    cam_index = {f: i for i, f in enumerate(cam_list)}
+    lm_list = sorted(pipe.landmarks)
+
+    # image stack: one image per mapped camera, index == camera index
+    img0 = next(iter(pipe.images.values()))
+    H, W = img0.shape
+    K = _bucket(len(cam_list), 4)
+    images = np.zeros((K, H, W), np.float32)
+    for f, i in cam_index.items():
+        images[i] = pipe.images[f].astype(np.float32)
+    images_flat = jnp.asarray(images.reshape(-1))
+
+    L = _bucket(len(lm_list), 64)
+    rho = np.full(L, 0.5, np.float64)
+    anchor_uv = np.zeros((L, 2))
+    anchor_cam_idx = np.zeros(L, np.int32)
+    anchor_intr = np.zeros(L, np.int32)
+    lm_index = {t: i for i, t in enumerate(lm_list)}
+    for t, i in lm_index.items():
+        lm = pipe.landmarks[t]
+        a = lm.anchor()
+        rho[i] = lm.inv_depth
+        anchor_uv[i] = pipe.corners[a]["uv"][lm.obs[a]]
+        anchor_cam_idx[i] = cam_index[a]
+        anchor_intr[i] = a[1]
+
+    ref_patch = pba.extract_ref_patches(
+        images_flat,
+        jnp.asarray(anchor_cam_idx),
+        jnp.asarray(anchor_uv, dtype),
+        H, W,
+    )
+
+    oa, oc, ol, it_ = [], [], [], []
+    for t, i in lm_index.items():
+        lm = pipe.landmarks[t]
+        for fcid, _feat in sorted(lm.obs.items())[1:]:
+            oa.append(anchor_cam_idx[i])
+            oc.append(cam_index[fcid])
+            ol.append(i)
+            it_.append(fcid[1])
+    O = _bucket(max(len(oa), 1))
+    pad = O - len(oa)
+
+    def parr(x):
+        return np.concatenate([np.asarray(x, np.int32), np.zeros(pad, np.int32)])
+
+    intr_tab = np.asarray(pipe.calib.intrinsics)
+    obs_l = parr(ol)
+    valid = np.concatenate([np.ones(len(oa)), np.zeros(pad)])
+    fixed = np.zeros(K, bool)
+    for f in [(0, 0), (0, 1)]:
+        if f in cam_index:
+            fixed[cam_index[f]] = True
+    fixed[len(cam_list):] = True
+    lm_valid = np.arange(L) < len(lm_list)
+
+    problem = pba.build_problem(
+        poses=jnp.asarray(
+            np.concatenate(
+                [np.stack([pipe.cameras[f] for f in cam_list]),
+                 np.tile([0, 0, 0, 0, 0, 0, 1.0], (K - len(cam_list), 1))]
+            ), dtype,
+        ),
+        affine=jnp.zeros((K, 2), dtype),
+        inv_depth=jnp.asarray(rho, dtype),
+        anchor_cam=parr(oa),
+        target_cam=parr(oc),
+        landmark=obs_l,
+        uv_ref=jnp.asarray(anchor_uv, dtype)[obs_l],
+        ref_patch=ref_patch.astype(dtype)[obs_l],
+        target_img=parr(oc),  # image index == camera index
+        intr_ref=jnp.asarray(intr_tab, dtype)[
+            parr(anchor_intr[np.asarray(ol, np.int32)] if ol else [])
+        ],
+        intr_target=jnp.asarray(intr_tab, dtype)[parr(it_)],
+        valid=valid,
+        fixed_cams=fixed,
+        lm_valid=lm_valid,
+    )
+    return problem, images_flat, H, W, cam_list, lm_list
+
+
+def refine_photometric(
+    pipe,
+    max_iterations: int = 20,
+    huber_delta: float = 9.0,
+    log=print,
+):
+    """Run photometric BA seeded from the geometric map; writes refined
+    poses/depths back into the pipeline.  Returns the BAResult."""
+    t0 = time.time()
+    problem, images_flat, H, W, cam_list, lm_list = build_photometric_problem(
+        pipe
+    )
+    model = pipe.calib.cam_types[0] if pipe.calib.cam_types else "ds"
+    solve = pba.make_solver(model, images_flat, H, W)
+    cfg = ba.BAConfig(
+        max_iterations=max_iterations, huber_delta=huber_delta,
+        function_tolerance=1e-8,
+    )
+    solved, res = solve(problem, cfg)
+    poses = np.asarray(solved.cam_states.pose, np.float64)
+    rho = np.asarray(solved.inv_depth, np.float64)
+    for i, f in enumerate(cam_list):
+        pipe.cameras[f] = poses[i]
+    for i, t in enumerate(lm_list):
+        if rho[i] > 1e-6:  # keep depths sane
+            pipe.landmarks[t].inv_depth = float(rho[i])
+    pipe.photometric_affine = {
+        f: np.asarray(solved.cam_states.affine[i])
+        for i, f in enumerate(cam_list)
+    }
+    n_obs = int(np.sum(np.asarray(problem.obs.valid)))
+    log(
+        f"Photometric BA over {len(cam_list)} cameras, {len(lm_list)} "
+        f"landmarks, {n_obs} patch observations: cost "
+        f"{float(res.initial_cost):.6e} -> {float(res.cost):.6e} in "
+        f"{int(res.iterations)} iterations ({time.time() - t0:.2f}s)"
+    )
+    return res

@@ -352,11 +352,14 @@ class SfmPipeline:
     # ------------------------------------------------------------- stage 3-4
 
     def build_tracks(self):
+        from photometric_bundle_adjustment_tpu.pipeline import native_tracks
+
         self.clear_tracks()
         inlier_matches = {
             k: v["inliers"] for k, v in self.matches.items() if len(v["inliers"])
         }
-        self.tracks = tracks_mod.build_tracks(
+        # native (C++ union-find) fast path; falls back to pure Python
+        self.tracks = native_tracks.build_tracks(
             inlier_matches, self.cfg.min_track_length
         )
         n_inl = sum(len(v) for v in inlier_matches.values())
