@@ -30,3 +30,34 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Join a multi-host run (SPMD over a pod slice).
+
+    Wraps ``jax.distributed.initialize``; on TPU pods the arguments are
+    auto-detected from the environment.  After this, ``jax.devices()``
+    spans all hosts and ``make_mesh()`` builds a global mesh whose
+    collectives ride ICI within a host/slice and DCN across.
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_host_chip_mesh(hosts: int, chips_per_host: int) -> Mesh:
+    """2-D (host, chip) mesh: shard landmarks over chips within a host
+    (ICI) and keyframe blocks over hosts (DCN boundary) — SURVEY §7's
+    keyframe-block partitioning axis is the host axis."""
+    devices = np.asarray(jax.devices()[: hosts * chips_per_host]).reshape(
+        hosts, chips_per_host
+    )
+    return Mesh(devices, ("host", DATA_AXIS))

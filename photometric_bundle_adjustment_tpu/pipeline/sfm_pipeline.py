@@ -260,34 +260,23 @@ class SfmPipeline:
         self._report_pair_matching(ids)
         self._save_cache("matches")
 
-    def _run_pair_matching(self, ids):
+    def _run_pair_matching(self, ids, mesh=None):
+        from photometric_bundle_adjustment_tpu.features import pair_matching
+
         cfg = self.cfg
         uv, valid, desc, bear = self._stack_features()
-        MM = cfg.max_matches_per_pair
         C = cfg.match_chunk_pairs
 
-        @jax.jit
-        def chunk_fn(i1, i2, key):
-            def one(a, b, k):
-                m12 = match.match_descriptors(
-                    desc[a], desc[b], valid[a], valid[b],
-                    cfg.feature_match_max_dist, cfg.feature_match_test_next_best,
-                )
-                pairs, pvalid, count = match.matches_to_pairs(m12, MM)
-                b0 = bear[a][pairs[:, 0]]
-                b1 = bear[b][pairs[:, 1]]
-                T, inl, n_inl = ransac.ransac_relative_pose(
-                    b0, b1, pvalid, k,
-                    threshold=cfg.relative_pose_ransac_thresh,
-                    min_inliers=cfg.relative_pose_ransac_min_inliers,
-                    num_hypotheses=cfg.ransac_hypotheses,
-                )
-                enough = count > cfg.relative_pose_ransac_min_inliers
-                inl = inl & enough
-                return pairs, pvalid, count, T, inl, jnp.where(enough, n_inl, 0)
-
-            keys = jax.random.split(key, i1.shape[0])
-            return jax.vmap(one)(i1, i2, keys)
+        chunk_fn = pair_matching.make_pair_matcher(
+            desc, valid, bear,
+            max_matches=cfg.max_matches_per_pair,
+            match_max_dist=cfg.feature_match_max_dist,
+            match_ratio=cfg.feature_match_test_next_best,
+            ransac_thresh=cfg.relative_pose_ransac_thresh,
+            ransac_min_inliers=cfg.relative_pose_ransac_min_inliers,
+            ransac_hypotheses=cfg.ransac_hypotheses,
+            mesh=mesh,
+        )
 
         for s in range(0, len(ids), C):
             chunk = ids[s : s + C]

@@ -70,3 +70,31 @@ def test_pipeline_reprojection_quality(mini_pipeline):
     errs = [rec["err"] for recs in track_proj.values() for rec in recs]
     assert len(errs) > 0
     assert float(np.mean(errs)) < 3.0, f"mean reprojection {np.mean(errs)}px"
+
+
+def test_pipeline_bow_matching(mini_pipeline):
+    """BoW-candidate matching path (match_bow, sfm.cpp:1355-1452): build a
+    vocabulary from the map's own descriptors and re-run matching."""
+    import numpy as np
+
+    from photometric_bundle_adjustment_tpu.features import bow
+    from photometric_bundle_adjustment_tpu.pipeline.config import SfmConfig
+    from photometric_bundle_adjustment_tpu.pipeline.sfm_pipeline import SfmPipeline
+
+    src = mini_pipeline
+    descs = np.concatenate(
+        [c["desc"][c["valid"]] for c in src.corners.values()]
+    )
+    voc = bow.build_vocabulary(descs[:2000], k=8, levels=2, seed=0)
+
+    cfg = SfmConfig(use_match_bow=True, num_bow_candidates=4,
+                    match_chunk_pairs=8)
+    pipe = SfmPipeline(src.images, src.calib, cfg, log=lambda *a: None)
+    pipe.bow_voc = voc
+    pipe.corners = src.corners  # reuse detected features
+    pipe.match_stereo()
+    pipe.match_bow()
+    # BoW path must produce non-stereo pair matches with inliers
+    non_stereo = [k for k in pipe.matches if k[0][0] != k[1][0]]
+    assert len(non_stereo) > 0
+    assert sum(len(pipe.matches[k]["inliers"]) for k in non_stereo) > 50
