@@ -109,3 +109,25 @@ def detect_and_describe(img, num_features=1500, rotate_features=True):
         angles = jnp.zeros(uv.shape[0], jnp.float32)
     desc = compute_descriptors(img, uv, angles)
     return uv, valid, angles, desc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_features", "rotate_features")
+)
+def detect_and_describe_batch(
+    imgs: jax.Array, num_features: int = 1500, rotate_features: bool = True
+):
+    """Batched front-end over a stack of images (B, H, W): one compiled
+    program instead of 3B dispatches — the shape TPUs want."""
+    from photometric_bundle_adjustment_tpu.features.detect import detect_keypoints
+
+    def one(img):
+        uv, valid, _ = detect_keypoints(img, num_features=num_features)
+        if rotate_features:
+            angles = compute_angles(img, uv)
+        else:
+            angles = jnp.zeros(uv.shape[0], jnp.float32)
+        desc = compute_descriptors(img, uv, angles)
+        return uv, valid, angles, desc
+
+    return jax.vmap(one)(imgs)

@@ -156,21 +156,30 @@ class SfmPipeline:
 
     # ------------------------------------------------------------ stage 1-2
 
-    def detect_keypoints(self):
+    def detect_keypoints(self, batch: int = 8):
         t0 = time.time()
         self.clear_keypoints()
         F = self.cfg.num_features_per_image
-        for fcid in self.fcids:
-            img = jnp.asarray(self.images[fcid])
-            uv, valid, angles, desc = describe.detect_and_describe(
-                img, num_features=F, rotate_features=self.cfg.rotate_features
+        for s in range(0, len(self.fcids), batch):
+            chunk = self.fcids[s : s + batch]
+            stack = np.stack([self.images[f] for f in chunk])
+            if len(chunk) < batch:  # pad to keep the jit shape static
+                stack = np.concatenate(
+                    [stack, np.zeros((batch - len(chunk),) + stack.shape[1:],
+                                     stack.dtype)]
+                )
+            uv, valid, angles, desc = jax.tree_util.tree_map(
+                np.asarray,
+                describe.detect_and_describe_batch(
+                    jnp.asarray(stack), num_features=F,
+                    rotate_features=self.cfg.rotate_features,
+                ),
             )
-            self.corners[fcid] = {
-                "uv": np.asarray(uv),
-                "valid": np.asarray(valid),
-                "angles": np.asarray(angles),
-                "desc": np.asarray(desc),
-            }
+            for i, fcid in enumerate(chunk):
+                self.corners[fcid] = {
+                    "uv": uv[i], "valid": valid[i],
+                    "angles": angles[i], "desc": desc[i],
+                }
         self.timings["detect"] = time.time() - t0
         self._save_cache("corners")
         self.log(f"Detected keypoints in {len(self.fcids)} images "
