@@ -52,9 +52,62 @@ def cam_retract(pose: jax.Array, delta: jax.Array) -> jax.Array:
     return se3.right_plus(pose, delta)
 
 
+def make_rj_fn(model: str):
+    """Closed-form residual + Jacobian for one observation.
+
+    Chain rule through the warp  y = R_c^T (R_a (d / rho) + t_a - t_c)  with
+    right-plus tangents in Sophus order [trans, rot]:
+
+      dp_c/d(dt_a)  =  R_c^T R_a
+      dp_c/d(dphi_a)= -R_c^T R_a [d/rho]_x
+      dp_c/d(dt_c)  = -I
+      dp_c/d(dphi_c)=  [y]_x
+      dp_c/d(rho)   = -R_c^T R_a d / rho^2
+
+    and dr/dy = -dpi/dy (projection Jacobian, forward-mode through the
+    3-dim projection only).  Replaces the generic 13-pass jacfwd.
+    """
+
+    def rj(pose_a: jax.Array, pose_c: jax.Array, rho: jax.Array, aux):
+        dtype = rho.dtype
+        d = cameras.unproject_unit(model, aux.intr_ref, aux.uv_ref)
+        x = d / rho
+        Ra = se3.quat_to_matrix(se3.rotation(pose_a))
+        Rc = se3.quat_to_matrix(se3.rotation(pose_c))
+        t_a = se3.translation(pose_a)
+        t_c = se3.translation(pose_c)
+        p_w = Ra @ x + t_a
+        y = Rc.T @ (p_w - t_c)
+
+        def pi(p):
+            return cameras.project(model, aux.intr_target, p)
+
+        uv_hat, Jpi = pi(y), jax.jacfwd(pi)(y)   # (2,), (2, 3)
+        r = aux.uv_target - uv_hat
+
+        M = Rc.T @ Ra
+        eye = jnp.eye(3, dtype=dtype)
+        dpc = jnp.concatenate(
+            [
+                M,                                  # d t_a
+                -M @ se3.hat_so3(x),                # d phi_a
+                -eye,                               # d t_c
+                se3.hat_so3(y),                     # d phi_c
+                (-(M @ d) / (rho * rho))[:, None],  # d rho
+            ],
+            axis=1,
+        )                                           # (3, 13)
+        J = -Jpi @ dpc                              # (2, 13)
+        return r, J
+
+    return rj
+
+
 @functools.lru_cache(maxsize=None)
 def make_solver(model: str):
-    return ba.make_ba_solver(make_residual_fn(model), cam_retract, 6)
+    return ba.make_ba_solver(
+        make_residual_fn(model), cam_retract, 6, rj_fn=make_rj_fn(model)
+    )
 
 
 def build_problem(

@@ -99,6 +99,7 @@ def make_ba_step(
     residual_fn: Callable,
     cam_retract: Callable,
     cam_tangent_dim: int,
+    rj_fn: Callable | None = None,
 ):
     """Build the residual/Jacobian/assembly machinery for a BA problem family.
 
@@ -109,6 +110,10 @@ def make_ba_step(
         BundleAdjustmentReprojectionCostFunctor (reprojection.h:74-118).
       cam_retract: ``(cam_state, delta (C,)) -> cam_state`` manifold update.
       cam_tangent_dim: C (static).
+      rj_fn: optional hand-derived ``(cam_a, cam_c, rho, aux) -> (r (R,),
+        J (R, 2C+1))`` replacing the jacfwd-through-retraction default (the
+        default runs 2C+1 forward-mode passes; closed-form chain-rule
+        Jacobians cut that to the cost of ~one).
 
     Returns (residuals_and_cost, build_normal_eqs) closures.
     """
@@ -134,6 +139,9 @@ def make_ba_step(
         cam_a = jax.tree_util.tree_map(lambda x: x[o.anchor_cam], problem.cam_states)
         cam_c = jax.tree_util.tree_map(lambda x: x[o.target_cam], problem.cam_states)
         rho = problem.inv_depth[o.landmark]
+
+        if rj_fn is not None:
+            return jax.vmap(rj_fn)(cam_a, cam_c, rho, o.aux)
 
         def one(ca, cc, rh, aux):
             def f(d):
@@ -268,6 +276,7 @@ def make_ba_solver(
     cam_tangent_dim: int,
     normal_eq_fn: Callable | None = None,
     cost_fn: Callable | None = None,
+    rj_fn: Callable | None = None,
 ):
     """Assemble a full jitted LM loop for a BA problem family.
 
@@ -275,7 +284,9 @@ def make_ba_solver(
     ``parallel.dist_ba`` wraps them in ``shard_map`` with psums over the
     landmark shard axis).
     """
-    res_cost, build_neq = make_ba_step(residual_fn, cam_retract, cam_tangent_dim)
+    res_cost, build_neq = make_ba_step(
+        residual_fn, cam_retract, cam_tangent_dim, rj_fn=rj_fn
+    )
     if normal_eq_fn is None:
         normal_eq_fn = build_neq
     if cost_fn is None:

@@ -105,10 +105,13 @@ def pad_problem_for_mesh(problem: ba.BAProblem, n_devices: int) -> ba.BAProblem:
     )
 
 
-def distributed_solver(residual_fn, cam_retract, cam_tangent_dim, mesh: Mesh):
+def distributed_solver(residual_fn, cam_retract, cam_tangent_dim, mesh: Mesh,
+                       rj_fn=None):
     """Build a mesh-aware BA solver.  Returns solve(problem, cfg) where the
     problem should be prepared with sort_obs_by_landmark + pad + shard."""
-    solve = ba.make_ba_solver(residual_fn, cam_retract, cam_tangent_dim)
+    solve = ba.make_ba_solver(
+        residual_fn, cam_retract, cam_tangent_dim, rj_fn=rj_fn
+    )
 
     def dist_solve(problem: ba.BAProblem, cfg: ba.BAConfig = ba.BAConfig()):
         with mesh:

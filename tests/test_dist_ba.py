@@ -24,7 +24,7 @@ def test_distributed_matches_single_device():
     sharded = dist_ba.prepare(problem, mesh)
     solve = dist_ba.distributed_solver(
         geometric_ba.make_residual_fn("pinhole"), geometric_ba.cam_retract, 6,
-        mesh,
+        mesh, rj_fn=geometric_ba.make_rj_fn("pinhole"),
     )
     solved_8, res_8 = solve(sharded, cfg)
 

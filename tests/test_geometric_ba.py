@@ -156,3 +156,32 @@ def test_ba_padding_invariance():
     np.testing.assert_allclose(
         np.asarray(solved_a.cam_states), np.asarray(solved_b.cam_states), atol=1e-9
     )
+
+
+def test_manual_jacobian_matches_autodiff():
+    """Closed-form rj_fn must match jacfwd through the retraction."""
+    problem, _, _ = synth_scene(model="kb4", K=3, L=10)
+    o = problem.obs
+    cam_a = problem.cam_states[o.anchor_cam]
+    cam_c = problem.cam_states[o.target_cam]
+    rho = problem.inv_depth[o.landmark]
+
+    rj = geometric_ba.make_rj_fn("kb4")
+    r_man, J_man = jax.vmap(rj)(cam_a, cam_c, rho, o.aux)
+
+    res_fn = geometric_ba.make_residual_fn("kb4")
+
+    def auto_rj(ca, cc, rh, aux):
+        def f(d):
+            return res_fn(
+                geometric_ba.cam_retract(ca, d[:6]),
+                geometric_ba.cam_retract(cc, d[6:12]),
+                rh + d[12], aux,
+            )
+        z = jnp.zeros(13)
+        return f(z), jax.jacfwd(f)(z)
+
+    r_auto, J_auto = jax.vmap(auto_rj)(cam_a, cam_c, rho, o.aux)
+    np.testing.assert_allclose(np.asarray(r_man), np.asarray(r_auto), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(J_man), np.asarray(J_auto),
+                               rtol=1e-6, atol=1e-8)
