@@ -31,7 +31,8 @@ def build_step(dtype):
     )
     cfg = ba.BAConfig(max_iterations=1, huber_delta=1.0)
     _, build_neq = ba.make_ba_step(
-        geometric_ba.make_residual_fn("pinhole"), geometric_ba.cam_retract, 6
+        geometric_ba.make_residual_fn("pinhole"), geometric_ba.cam_retract, 6,
+        rj_fn=geometric_ba.make_rj_fn("pinhole"),
     )
 
     @jax.jit

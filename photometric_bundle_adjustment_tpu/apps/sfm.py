@@ -26,6 +26,7 @@ def main(argv=None):
     parser.add_argument("--cache-dir", default=None)
     parser.add_argument("--map-out", default="map.pkl")
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
     import jax
@@ -58,7 +59,7 @@ def main(argv=None):
     )
 
     cfg = SfmConfig(use_match_bow=bool(args.voc_path))
-    pipe = SfmPipeline(images, calib, cfg, cache_dir=args.cache_dir)
+    pipe = SfmPipeline(images, calib, cfg, cache_dir=args.cache_dir, seed=args.seed)
     if args.voc_path:
         from photometric_bundle_adjustment_tpu.features import bow
 

@@ -130,12 +130,22 @@ def _dlt_pnp(f: jax.Array, p: jax.Array):
     Solves [f]_x (R p + t) = 0 for the 12 entries of [R|t] (T_c_w up to
     scale), then projects R onto SO(3) and fixes scale/sign by cheirality.
     Returns T_c_w (7,).
+
+    The 3D points are Hartley-normalised (centroid-shifted, isotropically
+    scaled) before building the system — without this the DLT is badly
+    conditioned for the clustered point sets real SfM produces, especially
+    in float32.
     """
     n = f.shape[0]
+    # normalise points: T_c_w' solves the shifted/scaled problem
+    centroid = jnp.mean(p, axis=0)
+    scale = jnp.sqrt(jnp.mean(jnp.sum((p - centroid) ** 2, axis=-1))) + 1e-12
+    pn = (p - centroid) / scale
+
     # rows: skew(f) @ [p^T kron I, I] — build (3n, 12), rank 2 each
     S = geometry.skew(f)  # (n, 3, 3)
     # unknown x = [r11 r12 r13 t1 r21.. t2 r31.. t3] grouping rows of [R|t]
-    ph = jnp.concatenate([p, jnp.ones((n, 1), p.dtype)], axis=-1)  # (n, 4)
+    ph = jnp.concatenate([pn, jnp.ones((n, 1), p.dtype)], axis=-1)  # (n, 4)
     A = jnp.einsum("nij,nk->nijk", S, ph).reshape(n * 3, 12)
     _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
     x = Vt[-1]
@@ -151,6 +161,10 @@ def _dlt_pnp(f: jax.Array, p: jax.Array):
     R = U @ jnp.diag(jnp.array([1.0, 1.0, 1.0], x.dtype).at[2].set(d)) @ Vt2
     # rescale t consistently with normalising R's singular values to 1
     t = t_raw * 3.0 / jnp.maximum(jnp.sum(s), 1e-12)
+    # undo the point normalisation: the solved (R, t) satisfies
+    # f ~ R (p - c)/s + t, and directions are scale-free, so in the
+    # original frame f ~ R p + (s t - R c)
+    t = t * scale - R @ centroid
     return _pose_from_Rt(R, t, f.dtype)
 
 
@@ -163,7 +177,7 @@ def pnp_angle_error(T_c_w: jax.Array, f: jax.Array, p_w: jax.Array) -> jax.Array
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_hypotheses", "refine_iters")
+    jax.jit, static_argnames=("num_hypotheses", "refine_iters", "lo_rounds")
 )
 def ransac_pnp(
     bearings: jax.Array,   # (M, 3) unit bearings in the camera frame
@@ -171,14 +185,20 @@ def ransac_pnp(
     valid: jax.Array,      # (M,) bool
     key: jax.Array,
     pixel_threshold: float = 3.0,  # sfm.cpp:234-235
-    num_hypotheses: int = 128,
+    num_hypotheses: int = 512,
     refine_iters: int = 10,
+    lo_rounds: int = 2,
 ):
     """Localise a camera: returns (T_w_c (7,), inlier_mask (M,)).
 
     Threshold is the reference's 1 - cos(atan(px / 500)) conversion
     (map_utils.h:276-277); refinement runs on the RANSAC inliers and the
-    inlier set is recomputed with the refined pose (map_utils.h:282-301).
+    inlier set is recomputed with the refined pose (map_utils.h:282-301),
+    locally-optimised for ``lo_rounds`` rounds.
+
+    The 6-point DLT minimal sample needs many hypotheses at high outlier
+    rates (P(clean) ~ (1-e)^6), so the default draws 512 — all solved by
+    one vmapped batch of 12x12 SVDs, which is cheap on both CPU and MXU.
     """
     dtype = bearings.dtype
     threshold = 1.0 - jnp.cos(jnp.arctan(pixel_threshold / 500.0))
@@ -193,17 +213,30 @@ def ransac_pnp(
         return jnp.sum(((err <= threshold) & valid).astype(jnp.int32))
 
     best = jnp.argmax(jax.vmap(score)(T_cands))
-    T_best = T_cands[best]
-    inlier0 = (pnp_angle_error(T_best, bearings, points_w) <= threshold) & valid
-    w = inlier0.astype(dtype)
-
-    def residual(T):
-        pc = se3.act(T, points_w)
-        n = pc / jnp.maximum(jnp.linalg.norm(pc, axis=-1, keepdims=True), 1e-12)
-        return (jnp.cross(bearings, n) * w[:, None]).reshape(-1)
+    T_ref = T_cands[best]
 
     cfg = LMConfig(max_iterations=refine_iters, function_tolerance=1e-14)
-    T_ref, _ = lm_solve(residual, T_best, se3.right_plus, 6, cfg)
+    for _ in range(lo_rounds):
+        inl = (pnp_angle_error(T_ref, bearings, points_w) <= threshold) & valid
+        w = inl.astype(dtype)
+
+        def residual(T, w=w):
+            pc = se3.act(T, points_w)
+            n = pc / jnp.maximum(
+                jnp.linalg.norm(pc, axis=-1, keepdims=True), 1e-12
+            )
+            return (jnp.cross(bearings, n) * w[:, None]).reshape(-1)
+
+        T_try, _ = lm_solve(residual, T_ref, se3.right_plus, 6, cfg)
+        # keep the refinement only if it does not lose inliers
+        n_new = jnp.sum(
+            ((pnp_angle_error(T_try, bearings, points_w) <= threshold) & valid)
+            .astype(jnp.int32)
+        )
+        n_old = jnp.sum(inl.astype(jnp.int32))
+        T_ref = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(n_new >= n_old, a, b), T_try, T_ref
+        )
 
     inliers = (pnp_angle_error(T_ref, bearings, points_w) <= threshold) & valid
     return se3.inverse(T_ref), inliers

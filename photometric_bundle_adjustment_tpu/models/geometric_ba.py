@@ -105,8 +105,12 @@ def make_rj_fn(model: str):
 
 @functools.lru_cache(maxsize=None)
 def make_solver(model: str):
+    import os
+
+    use_manual = os.environ.get("PBA_TPU_MANUAL_JAC", "1") != "0"
     return ba.make_ba_solver(
-        make_residual_fn(model), cam_retract, 6, rj_fn=make_rj_fn(model)
+        make_residual_fn(model), cam_retract, 6,
+        rj_fn=make_rj_fn(model) if use_manual else None,
     )
 
 

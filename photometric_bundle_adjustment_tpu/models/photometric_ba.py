@@ -88,6 +88,126 @@ def bilinear_sample_flat(
     )
 
 
+def bilinear_sample_and_grad(
+    images_flat: jax.Array, img_idx: jax.Array, uv: jax.Array, H: int, W: int
+):
+    """Bilinear sample + analytic image gradient (dI/du, dI/dv)."""
+    x = jnp.clip(uv[..., 0], 0.0, W - 1.001)
+    y = jnp.clip(uv[..., 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    base = img_idx.astype(jnp.int32) * (H * W)
+
+    def at(yy, xx):
+        return images_flat[base + yy * W + xx]
+
+    v00 = at(y0i, x0i)
+    v01 = at(y0i, x0i + 1)
+    v10 = at(y0i + 1, x0i)
+    v11 = at(y0i + 1, x0i + 1)
+    val = (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+    gx = (v01 - v00) * (1 - fy) + (v11 - v10) * fy
+    gy = (v10 - v00) * (1 - fx) + (v11 - v01) * fx
+    # saturate the gradient for clamped (out-of-image) samples, matching
+    # autodiff-through-clip semantics: no pose update pressure from pixels
+    # that fell off the image
+    in_x = (uv[..., 0] >= 0.0) & (uv[..., 0] <= W - 1.001)
+    in_y = (uv[..., 1] >= 0.0) & (uv[..., 1] <= H - 1.001)
+    gx = jnp.where(in_x, gx, 0.0)
+    gy = jnp.where(in_y, gy, 0.0)
+    return val, gx, gy
+
+
+def make_rj_fn(model: str, images_flat: jax.Array, H: int, W: int):
+    """Closed-form residual + Jacobian (R=8, tangent 2*8+1=17).
+
+    Pose/depth chain identical to the geometric warp (see
+    geometric_ba.make_rj_fn) composed with the projection Jacobian and the
+    analytic bilinear image gradient; affine-brightness partials in closed
+    form.  Replaces 17 forward-mode passes through the sampler."""
+    offsets = jnp.asarray(PATCH_OFFSETS)
+
+    def rj(cam_a: PhotometricCams, cam_c: PhotometricCams,
+           rho: jax.Array, aux: PhotometricObs):
+        dtype = rho.dtype
+        offs = offsets.astype(dtype)
+        uv_patch = aux.uv_ref[None, :] + offs                     # (P, 2)
+        d = cameras.unproject_unit(model, aux.intr_ref, uv_patch)  # (P, 3)
+        x = d / rho
+        Ra = se3.quat_to_matrix(se3.rotation(cam_a.pose))
+        Rc = se3.quat_to_matrix(se3.rotation(cam_c.pose))
+        t_a = se3.translation(cam_a.pose)
+        t_c = se3.translation(cam_c.pose)
+        p_w = x @ Ra.T + t_a
+        y = (p_w - t_c) @ Rc                                       # (P, 3)
+
+        def pi(p):
+            return cameras.project(model, aux.intr_target, p)
+
+        uv_t = pi(y)
+        Jpi = jax.vmap(jax.jacfwd(pi))(y)                          # (P, 2, 3)
+        I_t, gx, gy = bilinear_sample_and_grad(
+            images_flat, aux.target_img * jnp.ones((PATCH_SIZE,), jnp.int32),
+            uv_t, H, W,
+        )
+
+        a_r, b_r = cam_a.affine[0], cam_a.affine[1]
+        a_t, b_t = cam_c.affine[0], cam_c.affine[1]
+        e = jnp.exp(a_t - a_r)
+        ref_term = aux.ref_patch - b_r
+        r = (I_t - b_t) - e * ref_term                              # (P,)
+
+        # dI/dy = g^T Jpi : (P, 3)
+        g = jnp.stack([gx, gy], axis=-1)                            # (P, 2)
+        dIdy = jnp.einsum("pi,pij->pj", g, Jpi)
+
+        M = Rc.T @ Ra
+        eye = jnp.eye(3, dtype=dtype)
+        # per-pixel dpc blocks (P, 3, 13): [dt_a, dphi_a, dt_c, dphi_c, drho]
+        hat_x = se3.hat_so3(x)                                      # (P, 3, 3)
+        hat_y = se3.hat_so3(y)
+        Mb = jnp.broadcast_to(M, (PATCH_SIZE, 3, 3))
+        dpc = jnp.concatenate(
+            [
+                Mb,
+                -jnp.einsum("ij,pjk->pik", M, hat_x),
+                -jnp.broadcast_to(eye, (PATCH_SIZE, 3, 3)),
+                hat_y,
+                (-(d @ M.T) / (rho * rho))[:, :, None],
+            ],
+            axis=2,
+        )                                                           # (P, 3, 13)
+        J_geo = jnp.einsum("pj,pjk->pk", dIdy, dpc)                 # (P, 13)
+
+        ones = jnp.ones((PATCH_SIZE,), dtype)
+        # anchor affine: d r / d a_r = +e * ref_term ; d r / d b_r = +e
+        Ja_aff = jnp.stack([e * ref_term, e * ones], axis=-1)       # (P, 2)
+        # target affine: d r / d a_t = -e * ref_term ; d r / d b_t = -1
+        Jc_aff = jnp.stack([-e * ref_term, -ones], axis=-1)
+
+        # tangent layout per camera: [se3(6), a, b]
+        J = jnp.concatenate(
+            [
+                J_geo[:, 0:6], Ja_aff,        # anchor block (8)
+                J_geo[:, 6:12], Jc_aff,       # target block (8)
+                J_geo[:, 12:13],              # rho
+            ],
+            axis=1,
+        )                                                           # (P, 17)
+        return r, J
+
+    return rj
+
+
 def make_residual_fn(model: str, images_flat: jax.Array, H: int, W: int):
     """Per-observation photometric residual (8,)."""
     offsets = jnp.asarray(PATCH_OFFSETS)
@@ -120,7 +240,8 @@ def cam_retract(cam: PhotometricCams, delta: jax.Array) -> PhotometricCams:
 
 def make_solver(model: str, images_flat: jax.Array, H: int, W: int):
     return ba.make_ba_solver(
-        make_residual_fn(model, images_flat, H, W), cam_retract, 8
+        make_residual_fn(model, images_flat, H, W), cam_retract, 8,
+        rj_fn=make_rj_fn(model, images_flat, H, W),
     )
 
 
@@ -180,3 +301,55 @@ def extract_ref_patches(
         images_flat, img_idx[:, None] * jnp.ones((1, PATCH_SIZE), jnp.int32),
         uv, H, W,
     )
+
+
+# ---------------------------------------------------------------------------
+# image pyramids (coarse-to-fine photometric optimisation)
+# ---------------------------------------------------------------------------
+
+
+def downsample2(images: jax.Array) -> jax.Array:
+    """2x2 average-pool downsampling of (K, H, W) image stacks."""
+    K, H, W = images.shape
+    H2, W2 = H // 2, W // 2
+    x = images[:, : H2 * 2, : W2 * 2].reshape(K, H2, 2, W2, 2)
+    return x.mean(axis=(2, 4))
+
+
+def build_pyramid(images: jax.Array, levels: int = 3):
+    """Returns [(images_l, H_l, W_l)] for levels 0..levels-1 (0 = full res)."""
+    out = []
+    cur = images
+    for _ in range(levels):
+        K, H, W = cur.shape
+        out.append((cur, H, W))
+        cur = downsample2(cur)
+    return out
+
+
+def scale_intrinsics(intr: jax.Array, level: int) -> jax.Array:
+    """Intrinsics for pyramid level ``level`` (pixel (0,0) is the center of
+    the top-left pixel): f' = f/2^l, c' = (c + 0.5)/2^l - 0.5."""
+    s = float(2**level)
+    return (
+        intr.at[..., 0].divide(s)
+        .at[..., 1].divide(s)
+        .at[..., 2].set((intr[..., 2] + 0.5) / s - 0.5)
+        .at[..., 3].set((intr[..., 3] + 0.5) / s - 0.5)
+    )
+
+
+def scale_problem_to_level(problem: ba.BAProblem, level: int) -> ba.BAProblem:
+    """Rescale a level-0 photometric problem's pixel quantities to a coarser
+    pyramid level (anchor pixels + both intrinsics); ``ref_patch`` must be
+    re-extracted from the level's reference images by the caller."""
+    if level == 0:
+        return problem
+    s = float(2**level)
+    aux = problem.obs.aux
+    aux = aux._replace(
+        uv_ref=(aux.uv_ref + 0.5) / s - 0.5,
+        intr_ref=scale_intrinsics(aux.intr_ref, level),
+        intr_target=scale_intrinsics(aux.intr_target, level),
+    )
+    return problem._replace(obs=problem.obs._replace(aux=aux))

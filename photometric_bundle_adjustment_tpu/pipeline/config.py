@@ -46,9 +46,17 @@ class SfmConfig:
     # epipolar stereo check (sfm.cpp:1248-1249)
     epipolar_error_threshold: float = 1e-3
 
+    # minimum triangulation ray angle (degrees).  The reference has no such
+    # gate; without it, near-stationary frame pairs (e.g. the hovering start
+    # of EuRoC V1) produce zero-parallax landmarks whose positions are
+    # garbage but whose reprojections are perfect — un-removable by the
+    # outlier taxonomy and fatal to later PnP localisation.
+    min_triangulation_angle_deg: float = 1.0
+
     # vectorised-RANSAC sizing (TPU-side static shapes)
     max_matches_per_pair: int = 512
     ransac_hypotheses: int = 128
+    pnp_hypotheses: int = 512   # 6-pt DLT needs many draws at 50% outliers
     match_chunk_pairs: int = 32
 
     # number of cameras per frame (stereo)

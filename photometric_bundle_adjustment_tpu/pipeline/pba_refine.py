@@ -120,21 +120,56 @@ def refine_photometric(
     pipe,
     max_iterations: int = 20,
     huber_delta: float = 9.0,
+    levels: int = 3,
     log=print,
 ):
-    """Run photometric BA seeded from the geometric map; writes refined
-    poses/depths back into the pipeline.  Returns the BAResult."""
+    """Run coarse-to-fine photometric BA seeded from the geometric map;
+    writes refined poses/depths back into the pipeline.  Returns the final
+    (full-resolution) BAResult."""
     t0 = time.time()
     problem, images_flat, H, W, cam_list, lm_list = build_photometric_problem(
         pipe
     )
     model = pipe.calib.cam_types[0] if pipe.calib.cam_types else "ds"
-    solve = pba.make_solver(model, images_flat, H, W)
     cfg = ba.BAConfig(
         max_iterations=max_iterations, huber_delta=huber_delta,
         function_tolerance=1e-8,
     )
-    solved, res = solve(problem, cfg)
+
+    images0 = images_flat.reshape(-1, H, W)
+    pyramid = pba.build_pyramid(images0, levels)
+    solved, res = problem, None
+    state = problem
+    for level in range(levels - 1, -1, -1):
+        imgs_l, H_l, W_l = pyramid[level]
+        flat_l = imgs_l.reshape(-1)
+        prob_l = pba.scale_problem_to_level(
+            state._replace(cam_states=state.cam_states,
+                           inv_depth=state.inv_depth),
+            level,
+        )
+        # re-extract the reference patches at this level
+        aux = prob_l.obs.aux
+        anchor_imgs = prob_l.obs.anchor_cam
+        patch = pba.extract_ref_patches(
+            flat_l, anchor_imgs, aux.uv_ref, H_l, W_l
+        )
+        prob_l = prob_l._replace(
+            obs=prob_l.obs._replace(aux=aux._replace(ref_patch=patch))
+        )
+        solve = pba.make_solver(model, flat_l, H_l, W_l)
+        solved_l, res = solve(prob_l, cfg)
+        if level == 0:
+            solved = solved_l
+        # carry optimised state (poses/affine/depths) to the finer level
+        state = state._replace(
+            cam_states=solved_l.cam_states, inv_depth=solved_l.inv_depth
+        )
+        log(
+            f"  pba level {level} ({W_l}x{H_l}): cost "
+            f"{float(res.initial_cost):.4e} -> {float(res.cost):.4e} "
+            f"({int(res.iterations)} it)"
+        )
     poses = np.asarray(solved.cam_states.pose, np.float64)
     rho = np.asarray(solved.inv_depth, np.float64)
     for i, f in enumerate(cam_list):

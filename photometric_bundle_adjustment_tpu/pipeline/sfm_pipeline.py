@@ -402,14 +402,26 @@ class SfmPipeline:
         T_0_1 = se3.compose(se3.inverse(T_w_c0), T_w_c1)
         p0 = geometry.triangulate_midpoint(f0, f1, T_0_1)
         inv_depth = np.asarray(1.0 / jnp.linalg.norm(p0, axis=-1))
-        for t, rho in zip(new_tids, inv_depth):
+
+        # parallax gate: rays must subtend a minimum angle at the point,
+        # else the midpoint depth is unconstrained (see config note)
+        Rf1 = se3.quat_rotate(se3.rotation(T_0_1), f1)
+        cos_ang = np.asarray(jnp.sum(f0 * Rf1, axis=-1))
+        min_cos = np.cos(np.deg2rad(self.cfg.min_triangulation_angle_deg))
+        ok = (cos_ang < min_cos) & np.isfinite(inv_depth) & (inv_depth > 0)
+
+        n_new = 0
+        for t, rho, good in zip(new_tids, inv_depth, ok):
+            if not good:
+                continue
             obs = {
                 fcid: feat
                 for fcid, feat in self.tracks[t].items()
                 if fcid in self.cameras
             }
             self.landmarks[t] = Landmark(float(rho), obs)
-        return len(new_tids)
+            n_new += 1
+        return n_new
 
     # -------------------------------------------------------- incremental map
 
@@ -498,7 +510,7 @@ class SfmPipeline:
         T_w_c, inl = ransac.ransac_pnp(
             bearings, points, valid, self._next_key(),
             pixel_threshold=self.cfg.reprojection_error_pnp_inlier_threshold_pixel,
-            num_hypotheses=self.cfg.ransac_hypotheses,
+            num_hypotheses=self.cfg.pnp_hypotheses,
         )
         inl = np.asarray(inl)[: len(shared_track_ids)]
         inlier_tids = [t for t, ok in zip(shared_track_ids, inl) if ok]

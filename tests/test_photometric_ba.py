@@ -177,3 +177,52 @@ def test_pba_recovers_from_perturbation(scene):
     )
     assert np.max(aff_err[:, 0]) < 0.02   # a (log-gain)
     assert np.max(aff_err[:, 1]) < 1.0    # b (intensity offset)
+
+
+def test_pba_manual_jacobian_matches_autodiff(scene):
+    problem, images_flat, _ = build_pba_problem(scene, L=20)
+    o = problem.obs
+    cam_a = jax.tree_util.tree_map(lambda x: x[o.anchor_cam], problem.cam_states)
+    cam_c = jax.tree_util.tree_map(lambda x: x[o.target_cam], problem.cam_states)
+    rho = problem.inv_depth[o.landmark]
+
+    rj = pba.make_rj_fn(MODEL, images_flat, H, W)
+    r_man, J_man = jax.vmap(rj)(cam_a, cam_c, rho, o.aux)
+
+    res_fn = pba.make_residual_fn(MODEL, images_flat, H, W)
+
+    def auto_rj(ca, cc, rh, aux):
+        def f(d):
+            return res_fn(
+                pba.cam_retract(ca, d[:8]),
+                pba.cam_retract(cc, d[8:16]),
+                rh + d[16], aux,
+            )
+        z = jnp.zeros(17)
+        return f(z), jax.jacfwd(f)(z)
+
+    r_auto, J_auto = jax.vmap(auto_rj)(cam_a, cam_c, rho, o.aux)
+    np.testing.assert_allclose(np.asarray(r_man), np.asarray(r_auto), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(J_man), np.asarray(J_auto),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_pyramid_utilities():
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(2, 64, 96)))
+    pyr = pba.build_pyramid(imgs, 3)
+    assert [p[1:] for p in pyr] == [(64, 96), (32, 48), (16, 24)]
+    # average-pool correctness
+    np.testing.assert_allclose(
+        float(pyr[1][0][0, 0, 0]),
+        float(imgs[0, :2, :2].mean()), rtol=1e-6,
+    )
+    # intrinsics scaling: a point projected at full res maps to the scaled
+    # pixel location at the coarse level
+    intr = jnp.array([100.0, 100.0, 47.5, 31.5, 0, 0, 0, 0])
+    p = jnp.array([0.3, -0.2, 2.0])
+    uv0 = cameras.project(MODEL, intr, p)
+    uv1 = cameras.project(MODEL, pba.scale_intrinsics(intr, 1), p)
+    np.testing.assert_allclose(
+        np.asarray(uv1), (np.asarray(uv0) + 0.5) / 2 - 0.5, atol=1e-9
+    )
