@@ -19,13 +19,8 @@ import numpy as np
 
 from photometric_bundle_adjustment_tpu.models import photometric_ba as pba
 from photometric_bundle_adjustment_tpu.optim import ba
+from photometric_bundle_adjustment_tpu.utils.shapes import bucket as _bucket
 
-
-def _bucket(n: int, minimum: int = 64) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
 
 
 def build_photometric_problem(pipe, dtype=jnp.float32):

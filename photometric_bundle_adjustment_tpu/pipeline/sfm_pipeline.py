@@ -43,6 +43,7 @@ from photometric_bundle_adjustment_tpu.models import geometric_ba
 from photometric_bundle_adjustment_tpu.optim import ba
 from photometric_bundle_adjustment_tpu.pipeline import tracks as tracks_mod
 from photometric_bundle_adjustment_tpu.pipeline.config import SfmConfig
+from photometric_bundle_adjustment_tpu.utils.shapes import bucket as _bucket
 
 
 class Stage(Enum):
@@ -84,13 +85,6 @@ class Candidate:
     camera_added: bool = False
     landmarks_added: bool = False
 
-
-def _bucket(n: int, minimum: int = 64) -> int:
-    """Round up to the next power of two (recompile-bounded padding)."""
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
 
 
 class SfmPipeline:
