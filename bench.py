@@ -18,7 +18,7 @@ import json
 import time
 
 
-def build_step(dtype):
+def build_step(dtype, use_manual_jac: bool):
     import jax
     import jax.numpy as jnp
 
@@ -30,9 +30,12 @@ def build_step(dtype):
         pixel_noise=0.3, dtype=dtype,
     )
     cfg = ba.BAConfig(max_iterations=1, huber_delta=1.0)
+    # each backend gets its best Jacobian path (closed-form wins on CPU,
+    # the fused jacfwd graph wins on TPU)
+    rj = geometric_ba.make_rj_fn("pinhole") if use_manual_jac else None
     _, build_neq = ba.make_ba_step(
         geometric_ba.make_residual_fn("pinhole"), geometric_ba.cam_retract, 6,
-        rj_fn=geometric_ba.make_rj_fn("pinhole"),
+        rj_fn=rj,
     )
 
     @jax.jit
@@ -70,15 +73,20 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from photometric_bundle_adjustment_tpu.utils.runtime import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     backend = jax.default_backend()
-    lm_step, problem = build_step(jnp.float32)
+    lm_step, problem = build_step(jnp.float32, use_manual_jac=(backend == "cpu"))
     dt = time_iters(lm_step, problem, 20)
     iters_per_s = 1.0 / dt
 
     # CPU baseline of the same computation
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        lm_step_cpu, problem_cpu = build_step(jnp.float32)
+        lm_step_cpu, problem_cpu = build_step(jnp.float32, use_manual_jac=True)
         dt_cpu = time_iters(lm_step_cpu, problem_cpu, 3)
 
     print(

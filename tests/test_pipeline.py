@@ -56,8 +56,9 @@ def test_pipeline_completes(mini_pipeline):
     pipe = mini_pipeline
     assert len(pipe.corners) == 6
     assert len(pipe.tracks) > 50
-    assert len(pipe.cameras) >= 2
-    assert len(pipe.landmarks) > 20
+    # with the normalised-DLT PnP the 3-frame bootstrap maps every camera
+    assert len(pipe.cameras) == 6, sorted(pipe.cameras)
+    assert len(pipe.landmarks) > 100
     # observations must reference mapped cameras only
     for lm in pipe.landmarks.values():
         for fcid in lm.obs:
