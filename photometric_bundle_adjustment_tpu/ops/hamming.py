@@ -19,7 +19,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_M = 128
-BIG = jnp.int32(1 << 20)
+BIG = 1 << 20  # plain int: pallas kernels cannot capture traced constants
 
 
 def _popcount(x: jax.Array) -> jax.Array:
@@ -47,13 +47,16 @@ def _match_kernel(d1_ref, d2_ref, n2_ref, best_ref, second_ref, idx_ref):
     dist = jnp.where(col < n2, dist, BIG)
 
     best = jnp.min(dist, axis=1)
-    bidx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    # argmin via min-of-matching-columns (Mosaic only lowers f32 argmin)
+    bidx = jnp.min(
+        jnp.where(dist == best[:, None], col, BIG), axis=1
+    ).astype(jnp.int32)
     masked = jnp.where(col == bidx[:, None], BIG, dist)
     second = jnp.min(masked, axis=1)
 
-    best_ref[:] = best
-    second_ref[:] = second
-    idx_ref[:] = bidx
+    best_ref[0, :] = best
+    second_ref[0, :] = second
+    idx_ref[0, :] = bidx
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -74,14 +77,15 @@ def best_two_nn(d1: jax.Array, d2: jax.Array, n2: jax.Array):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_M,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M,), lambda i: (i,), memory_space=pltpu.VMEM),
+            # (1, N1) row layouts keep the lane dimension 128-aligned
+            pl.BlockSpec((1, TILE_M), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_M), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_M), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N1,), jnp.int32),
-            jax.ShapeDtypeStruct((N1,), jnp.int32),
-            jax.ShapeDtypeStruct((N1,), jnp.int32),
+            jax.ShapeDtypeStruct((1, N1), jnp.int32),
+            jax.ShapeDtypeStruct((1, N1), jnp.int32),
+            jax.ShapeDtypeStruct((1, N1), jnp.int32),
         ],
     )(d1, d2, jnp.asarray(n2, jnp.int32).reshape(1))
-    return out[0], out[1], out[2]
+    return out[0][0], out[1][0], out[2][0]
