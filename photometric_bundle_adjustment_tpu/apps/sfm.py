@@ -27,6 +27,11 @@ def main(argv=None):
     parser.add_argument("--map-out", default="map.pkl")
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--global-init", action="store_true",
+        help="Bootstrap all cameras at once by rotation/translation "
+             "averaging over the match graph before the incremental loop",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -66,6 +71,15 @@ def main(argv=None):
         pipe.bow_voc = bow.BowVocabulary.load(args.voc_path)
 
     t0 = time.time()
+    if args.global_init:
+        from photometric_bundle_adjustment_tpu.pipeline import global_init
+        from photometric_bundle_adjustment_tpu.pipeline.sfm_pipeline import Stage
+
+        # detect/match/tracks first, then averaging bootstrap
+        while not pipe.tracks and pipe.next_step():
+            pass
+        global_init.global_initialize(pipe)
+        pipe.stage = Stage.OPTIMIZE
     pipe.run()
     wall = time.time() - t0
     print(pipe.summary())

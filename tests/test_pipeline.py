@@ -99,3 +99,35 @@ def test_pipeline_bow_matching(mini_pipeline):
     non_stereo = [k for k in pipe.matches if k[0][0] != k[1][0]]
     assert len(non_stereo) > 0
     assert sum(len(pipe.matches[k]["inliers"]) for k in non_stereo) > 50
+
+
+def test_global_initialization(mini_pipeline):
+    """Rotation/translation averaging bootstrap (global.h capability) must
+    agree with the incremental reconstruction in the shared gauge."""
+    from photometric_bundle_adjustment_tpu.pipeline import global_init
+    from photometric_bundle_adjustment_tpu.pipeline.config import SfmConfig
+    from photometric_bundle_adjustment_tpu.pipeline.sfm_pipeline import SfmPipeline
+
+    src = mini_pipeline
+    pipe = SfmPipeline(src.images, src.calib, SfmConfig(),
+                       log=lambda *a: None)
+    pipe.corners = src.corners
+    pipe.matches = src.matches
+    pipe.tracks = dict(src.tracks)
+
+    fcids = global_init.global_initialize(pipe, log=lambda *a: None)
+    assert len(fcids) == 6              # all cameras connected
+    assert len(pipe.landmarks) > 80
+
+    # polish with one BA and compare against the incremental solution
+    pipe.optimize()
+    import numpy as np
+
+    shared = [f for f in pipe.cameras if f in src.cameras]
+    assert len(shared) == 6
+    dpos = [
+        np.linalg.norm(np.asarray(pipe.cameras[f])[:3]
+                       - np.asarray(src.cameras[f])[:3])
+        for f in shared
+    ]
+    assert float(np.median(dpos)) < 0.05, dpos
