@@ -54,7 +54,7 @@ def main(argv=None):
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
-    from photometric_bundle_adjustment_tpu.core import cameras, se3
+    from photometric_bundle_adjustment_tpu.core import cameras
     from photometric_bundle_adjustment_tpu.io import calib_io
     from photometric_bundle_adjustment_tpu.models import calibration as calib_model
 

@@ -25,7 +25,6 @@ weights yields the image-gradient chain term exactly.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

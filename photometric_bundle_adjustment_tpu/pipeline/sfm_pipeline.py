@@ -492,7 +492,10 @@ class SfmPipeline:
         )
         bearings = self._unproject(fcid[1], uv)
         points = self.landmark_positions(shared_track_ids)
-        M = _bucket(len(shared_track_ids))
+        # fixed 1024-slot pad for typical counts: ONE compiled localize
+        # kernel instead of one per power-of-two bucket (compiles dominate
+        # wall-clock on the tunneled TPU)
+        M = _bucket(len(shared_track_ids), minimum=1024)
         pad = M - len(shared_track_ids)
         bearings = jnp.concatenate(
             [bearings, jnp.zeros((pad, 3), bearings.dtype).at[:, 2].set(1.0)]
