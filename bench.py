@@ -10,6 +10,10 @@ CPU cores (map_utils.h:377-383).  The reference publishes no numbers
 CPU execution of the identical computation on this host — i.e. the
 TPU-vs-host speedup of one full LM iteration (residual + Jacobian +
 normal-equation assembly + Schur reduction + dense solve + update).
+
+One LM iteration = the fused plan-based path (optim.fused): Gram-chunk
+normal-equation assembly + camera-pair-space Schur correction + dense
+Cholesky solve + back-substitution + manifold update.
 """
 
 from __future__ import annotations
@@ -23,35 +27,34 @@ def build_step(dtype, use_manual_jac: bool):
     import jax.numpy as jnp
 
     from photometric_bundle_adjustment_tpu.models import geometric_ba, synthetic
-    from photometric_bundle_adjustment_tpu.optim import ba
+    from photometric_bundle_adjustment_tpu.optim import ba, fused
 
     problem, _, _ = synthetic.synth_ba_problem(
         model="pinhole", K=200, L=8192, obs_per_landmark=6,
         pixel_noise=0.3, dtype=dtype,
     )
     cfg = ba.BAConfig(max_iterations=1, huber_delta=1.0)
-    # each backend gets its best Jacobian path (closed-form wins on CPU,
-    # the fused jacfwd graph wins on TPU)
     rj = geometric_ba.make_rj_fn("pinhole") if use_manual_jac else None
-    _, build_neq = ba.make_ba_step(
+    solver = fused.make_fused_ba_solver(
         geometric_ba.make_residual_fn("pinhole"), geometric_ba.cam_retract, 6,
         rj_fn=rj,
     )
+    plan = fused.plan_for_problem(problem)
 
     @jax.jit
     def lm_step(problem):
-        cost, H_cc, H_cp, H_pp, g_c, g_p = build_neq(problem, cfg)
-        dc, dp = ba.schur_solve(
-            H_cc, H_cp, H_pp, g_c, g_p,
-            jnp.asarray(1e-4, problem.inv_depth.dtype),
-            ~problem.fixed_cams, problem.lm_valid, cfg,
-        )
-        import jax as _jax
-
-        new_cams = _jax.vmap(geometric_ba.cam_retract)(problem.cam_states, dc)
-        return problem._replace(
-            cam_states=new_cams, inv_depth=problem.inv_depth + dp
-        ), cost
+        with jax.default_matmul_precision("float32"):
+            cost, neq = solver.build(problem, plan, cfg)
+            dc, dp = solver.solve_lam(
+                neq, plan, jnp.asarray(1e-4, problem.inv_depth.dtype),
+                ~problem.fixed_cams, cfg,
+            )
+            new_cams = jax.vmap(geometric_ba.cam_retract)(
+                problem.cam_states, dc
+            )
+            return problem._replace(
+                cam_states=new_cams, inv_depth=problem.inv_depth + dp
+            ), cost
 
     return lm_step, problem
 

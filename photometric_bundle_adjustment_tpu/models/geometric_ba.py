@@ -124,6 +124,16 @@ def make_solver(model: str):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def make_fused_solver(model: str):
+    from photometric_bundle_adjustment_tpu.optim import fused
+
+    return fused.make_fused_ba_solver(
+        make_residual_fn(model), cam_retract, 6,
+        rj_fn=make_rj_fn(model) if _use_manual_jacobians() else None,
+    )
+
+
 def build_problem(
     poses: jax.Array,          # (K, 7)
     inv_depth: jax.Array,      # (L,)
@@ -165,11 +175,28 @@ def bundle_adjustment(
     problem: ba.BAProblem,
     model: str,
     cfg: ba.BAConfig = ba.BAConfig(),
+    use_fused: bool | None = None,
 ):
     """Run the full jitted Schur-LM solve; returns (problem, BAResult).
 
     Matches the reference's defaults: Huber 1 px, 20 iterations
     (BundleAdjustmentOptions, map_utils.h:304-319).
+
+    ``use_fused`` selects the plan-based fused assembly (optim.fused) —
+    faster on a single device; ``None`` means auto (fused unless the
+    covisibility graph makes the entry-pair expansion pathological).
     """
+    if use_fused is None or use_fused:
+        from photometric_bundle_adjustment_tpu.optim import fused
+
+        O = int(problem.obs.valid.shape[0])
+        try:
+            plan = fused.plan_for_problem(
+                problem, max_entry_pairs=max(64 * O, 1 << 20)
+            )
+            return make_fused_solver(model)(problem, plan, cfg)
+        except ValueError:
+            if use_fused:
+                raise
     solve = make_solver(model)
     return solve(problem, cfg)

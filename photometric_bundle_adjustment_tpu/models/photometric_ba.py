@@ -244,6 +244,17 @@ def make_solver(model: str, images_flat: jax.Array, H: int, W: int):
     )
 
 
+def make_fused_solver(model: str, images_flat: jax.Array, H: int, W: int):
+    """Plan-based fused-assembly variant (optim.fused) — fastest single-device
+    path; call as solve(problem, fused.plan_for_problem(problem), cfg)."""
+    from photometric_bundle_adjustment_tpu.optim import fused
+
+    return fused.make_fused_ba_solver(
+        make_residual_fn(model, images_flat, H, W), cam_retract, 8,
+        rj_fn=make_rj_fn(model, images_flat, H, W),
+    )
+
+
 def default_config() -> ba.BAConfig:
     # Huber on intensities (DSO uses ~9 greyvalues)
     return ba.BAConfig(max_iterations=20, huber_delta=9.0)

@@ -131,7 +131,10 @@ def make_ba_step(
 
     def residual_cost(problem: BAProblem, cfg: BAConfig):
         r = _obs_r(problem, problem.obs)  # (O, R)
-        r2 = jnp.sum(r * r, axis=-1) * problem.obs.valid
+        # mask via where (not multiply) so NaN/Inf residuals from padding
+        # observations with arbitrary aux content cannot poison the cost
+        r = jnp.where(problem.obs.valid[:, None] != 0, r, 0.0)
+        r2 = jnp.sum(r * r, axis=-1)
         return _robust_cost(r2, cfg.huber_delta)
 
     def _obs_r_and_J(problem: BAProblem):
@@ -165,9 +168,12 @@ def make_ba_step(
         L = problem.inv_depth.shape[0]
 
         r, J = _obs_r_and_J(problem)  # (O, R), (O, R, 2C+1)
+        vmask = o.valid[:, None] != 0
+        r = jnp.where(vmask, r, 0.0)
+        J = jnp.where(vmask[:, :, None], J, 0.0)
         r2 = jnp.sum(r * r, axis=-1)
         w = _robust_weights(r2, cfg.huber_delta) * o.valid  # (O,)
-        cost = _robust_cost(r2 * o.valid, cfg.huber_delta)
+        cost = _robust_cost(r2, cfg.huber_delta)
 
         Ja = J[:, :, :C]          # (O, R, C)
         Jc = J[:, :, C : 2 * C]   # (O, R, C)

@@ -1,0 +1,147 @@
+"""Fused plan-based Schur solver vs the scatter-based reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photometric_bundle_adjustment_tpu.models import geometric_ba, synthetic
+from photometric_bundle_adjustment_tpu.optim import ba, fused
+
+
+def _problem(K=12, L=64, obs_per=4, dtype=jnp.float32, pad_obs=0, pad_lm=0):
+    problem, _, _ = synthetic.synth_ba_problem(
+        model="pinhole", K=K, L=L, obs_per_landmark=obs_per,
+        pixel_noise=0.5, dtype=dtype,
+    )
+    if pad_obs or pad_lm:
+        o = problem.obs
+
+        def padO(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad_obs,) + x.shape[1:], x.dtype)]
+            )
+
+        obs = ba.BAObservations(
+            anchor_cam=padO(o.anchor_cam),
+            target_cam=padO(o.target_cam),
+            landmark=padO(o.landmark),
+            aux=jax.tree_util.tree_map(padO, o.aux),
+            valid=padO(o.valid),
+        )
+
+        def padL(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad_lm,) + x.shape[1:], x.dtype)]
+            )
+
+        problem = problem._replace(
+            obs=obs,
+            inv_depth=padL(problem.inv_depth),
+            lm_valid=padL(problem.lm_valid),
+        )
+    return problem
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+
+
+@pytest.mark.parametrize("pad_obs,pad_lm", [(0, 0), (17, 5)])
+def test_fused_step_matches_scatter_path(pad_obs, pad_lm):
+    problem = _problem(pad_obs=pad_obs, pad_lm=pad_lm)
+    cfg = ba.BAConfig(max_iterations=1, huber_delta=1.0)
+    res_fn = geometric_ba.make_residual_fn("pinhole")
+    _, build_neq = ba.make_ba_step(res_fn, geometric_ba.cam_retract, 6)
+    plan = fused.plan_for_problem(problem)
+    solver = fused.make_fused_ba_solver(res_fn, geometric_ba.cam_retract, 6)
+
+    cost_r, H_cc, H_cp, H_pp, g_c, g_p = jax.jit(
+        lambda p: build_neq(p, cfg)
+    )(problem)
+    cost_f, neq = jax.jit(lambda p: solver.build(p, plan, cfg))(problem)
+    H_cc_f, S_corr0, rhs_corr0, H_pp_f, g_c_f, g_p_f, v, inv0 = neq
+
+    assert _rel(cost_f, cost_r) < 1e-5
+    assert _rel(H_cc_f, H_cc) < 1e-4
+    assert _rel(H_pp_f, H_pp) < 1e-4
+    assert _rel(g_c_f, g_c) < 1e-4
+    assert _rel(g_p_f, g_p) < 1e-4
+
+    # Schur correction against the dense H_cp formulation
+    K = H_cc.shape[0]
+    L = H_pp.shape[0]
+    H_cp_mat = jnp.transpose(H_cp, (0, 2, 1)).reshape(K * 6, L)
+    inv0_r = problem.lm_valid / jnp.maximum(H_pp, cfg.min_inv_depth_hessian)
+    S_dense = (H_cp_mat * inv0_r[None, :]) @ H_cp_mat.T
+    S0_mat = jnp.transpose(S_corr0, (0, 2, 1, 3)).reshape(K * 6, K * 6)
+    assert _rel(S0_mat, S_dense) < 1e-3
+    rhs_dense = (H_cp_mat * inv0_r[None, :]) @ g_p
+    assert _rel(rhs_corr0.reshape(-1), rhs_dense) < 1e-3
+
+    # per-lambda solve matches schur_solve
+    lam = jnp.asarray(0.02, jnp.float32)
+    dc_r, dp_r = jax.jit(lambda *a: ba.schur_solve(*a, cfg))(
+        H_cc, H_cp, H_pp, g_c, g_p, lam, ~problem.fixed_cams,
+        problem.lm_valid,
+    )
+    dc_f, dp_f = jax.jit(
+        lambda n, la: solver.solve_lam(n, plan, la, ~problem.fixed_cams, cfg)
+    )(neq, lam)
+    assert _rel(dc_f, dc_r) < 5e-3
+    assert _rel(dp_f, dp_r) < 5e-3
+
+
+def test_fused_full_solve_converges_like_scatter_path():
+    problem = _problem(K=10, L=48, obs_per=5)
+    cfg = ba.BAConfig(max_iterations=15, huber_delta=1.0)
+    res_fn = geometric_ba.make_residual_fn("pinhole")
+    plan = fused.plan_for_problem(problem)
+    fsolve = fused.make_fused_ba_solver(res_fn, geometric_ba.cam_retract, 6)
+    ssolve = ba.make_ba_solver(res_fn, geometric_ba.cam_retract, 6)
+
+    pf, rf = fsolve(problem, plan, cfg)
+    ps, rs = ssolve(problem, cfg)
+    assert float(rf.cost) < 0.7 * float(rf.initial_cost)
+    # both paths should land at (numerically) the same optimum
+    assert abs(float(rf.cost) - float(rs.cost)) <= 0.05 * float(rs.cost) + 1e-6
+
+
+def test_fused_solver_photometric_model():
+    from photometric_bundle_adjustment_tpu.models import photometric_ba as pba
+
+    problem, images_flat, H, W, _, _ = synthetic.synth_pba_problem(
+        K=4, L=64, dtype=jnp.float32
+    )
+    cfg = ba.BAConfig(max_iterations=5, huber_delta=9.0)
+    res_fn = pba.make_residual_fn("pinhole", images_flat, H, W)
+    plan = fused.plan_for_problem(problem)
+    fsolve = fused.make_fused_ba_solver(res_fn, pba.cam_retract, 8)
+    pf, rf = fsolve(problem, plan, cfg)
+    assert np.isfinite(float(rf.cost))
+    assert float(rf.cost) <= float(rf.initial_cost)
+
+
+def test_plan_guard_on_pathological_covisibility():
+    # one landmark observed by 60 cameras -> quadratic pair expansion
+    an = np.zeros(60, np.int64)
+    tn = np.arange(1, 61)
+    ln = np.zeros(60, np.int64)
+    with pytest.raises(ValueError):
+        fused.build_schur_plan(an, tn, ln, K=64, L=1, max_entry_pairs=100)
+
+
+def test_plan_excludes_invalid_observations():
+    # padding obs all alias landmark 0: without the valid mask this would
+    # produce a quadratic pair expansion over the padding
+    an = np.r_[np.zeros(4, np.int64), np.zeros(500, np.int64)]
+    tn = np.r_[np.arange(1, 5), np.zeros(500, np.int64)]
+    ln = np.r_[np.zeros(4, np.int64), np.zeros(500, np.int64)]
+    valid = np.r_[np.ones(4, bool), np.zeros(500, bool)]
+    plan = fused.build_schur_plan(
+        an, tn, ln, K=8, L=1, valid=valid, max_entry_pairs=200
+    )
+    # only the 4 valid obs (plus the anchor entry) expand into pairs
+    n_real_pairs = int((plan.pr_e1 < 505).sum())
+    assert n_real_pairs == 5 * 4 // 2
