@@ -55,7 +55,7 @@ def triangulate_midpoint(
     """
     R = se3.quat_to_matrix(se3.rotation(T_0_1))
     t = se3.translation(T_0_1)
-    Rf1 = jnp.einsum("ij,...j->...i", R, f1)
+    Rf1 = jnp.einsum("...ij,...j->...i", R, f1)
     # least-squares on [f0, -Rf1] [l0, l1]^T = t  (2x2 normal equations)
     a = jnp.sum(f0 * f0, axis=-1)
     b = -jnp.sum(f0 * Rf1, axis=-1)

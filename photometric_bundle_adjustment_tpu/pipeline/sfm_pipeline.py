@@ -21,6 +21,7 @@ plain dicts — it is O(matches) pointer-chasing, not flops.
 
 from __future__ import annotations
 
+import functools
 import pickle
 import time
 from dataclasses import dataclass, field
@@ -86,6 +87,54 @@ class Candidate:
     landmarks_added: bool = False
 
 
+# ------------------------------------------------------------------------
+# Bucketed batch kernels for the per-item geometry the incremental loop
+# does between BA solves.  Row counts vary every call, so callers pad to
+# power-of-two buckets (edge-repeat padding keeps every row numerically
+# benign) and these compile once per bucket instead of once per call.
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _lm_positions_kernel(model, uv, intr, T, rho):
+    """Batched Landmark::get_p (common_types.h:205-217)."""
+    d = cam_models.unproject_unit(model, intr, uv)
+    return se3.act(T, d / rho[:, None])
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _project_rows_kernel(model, uv_meas, intr, T, p_w):
+    """Batched reprojection with error/distance/z outputs
+    (compute_projections, sfm.cpp:1957-2008)."""
+    p_c = se3.act(se3.inverse(T), p_w)
+    uv_proj = cam_models.project(model, intr, p_c)
+    err = jnp.linalg.norm(uv_meas - uv_proj, axis=-1)
+    dist = jnp.linalg.norm(p_c, axis=-1)
+    return uv_proj, err, dist, p_c[:, 2]
+
+
+@functools.partial(jax.jit, static_argnames=("model", "min_cos"))
+def _triangulate_rows_kernel(model, uv0, uv1, intr0, intr1, T0, T1, min_cos):
+    """Batched two-view midpoint triangulation + parallax gate
+    (add_new_landmarks_between_cams, map_utils.h:121-195)."""
+    f0 = cam_models.unproject_unit(model, intr0, uv0)
+    f1 = cam_models.unproject_unit(model, intr1, uv1)
+    T_0_1 = se3.compose(se3.inverse(T0), T1)
+    p0 = geometry.triangulate_midpoint(f0, f1, T_0_1)
+    inv_depth = 1.0 / jnp.linalg.norm(p0, axis=-1)
+    Rf1 = se3.quat_rotate(se3.rotation(T_0_1), f1)
+    cos_ang = jnp.sum(f0 * Rf1, axis=-1)
+    ok = (cos_ang < min_cos) & jnp.isfinite(inv_depth) & (inv_depth > 0)
+    return inv_depth, ok
+
+
+def _pad_rows(x: np.ndarray, M: int) -> np.ndarray:
+    """Pad the leading axis to M by repeating the last row."""
+    n = x.shape[0]
+    if n == M:
+        return x
+    return np.concatenate([x, np.repeat(x[-1:], M - n, axis=0)])
+
+
 
 class SfmPipeline:
     def __init__(self, images: dict, calib, cfg: SfmConfig = SfmConfig(),
@@ -132,7 +181,8 @@ class SfmPipeline:
         )
 
     def landmark_positions(self, tids: list) -> np.ndarray:
-        """Batched Landmark::get_p (common_types.h:205-217)."""
+        """Batched Landmark::get_p (common_types.h:205-217); bucketed so the
+        kernel compiles once per power-of-two row count."""
         if not tids:
             return np.zeros((0, 3))
         anchors = [self.landmarks[t].anchor() for t in tids]
@@ -142,11 +192,18 @@ class SfmPipeline:
         )
         cam_ids = np.array([a[1] for a in anchors])
         rho = np.array([self.landmarks[t].inv_depth for t in tids])
-        T = jnp.asarray(np.stack([self.cameras[a] for a in anchors]))
-        intr = jnp.asarray(self.calib.intrinsics)[cam_ids]
-        d = cam_models.unproject_unit(self.model, intr, jnp.asarray(uv))
-        p_w = se3.act(T, d / jnp.asarray(rho)[:, None])
-        return np.asarray(p_w)
+        T = np.stack([np.asarray(self.cameras[a]) for a in anchors])
+        intr = np.asarray(self.calib.intrinsics)[cam_ids]
+        N = len(tids)
+        M = _bucket(N, 256)
+        p_w = _lm_positions_kernel(
+            self.model,
+            jnp.asarray(_pad_rows(uv, M)),
+            jnp.asarray(_pad_rows(intr, M)),
+            jnp.asarray(_pad_rows(T, M)),
+            jnp.asarray(_pad_rows(rho[:, None], M)[:, 0]),
+        )
+        return np.asarray(p_w)[:N]
 
     # ------------------------------------------------------------ stage 1-2
 
@@ -208,32 +265,55 @@ class SfmPipeline:
         num_matches = 0
         num_inliers = 0
         self.log(f"Matching {self.num_frames} stereo pairs...")
-        for fid in range(self.num_frames):
-            f1, f2 = (fid, 0), (fid, 1)
-            c1, c2 = self.corners[f1], self.corners[f2]
+        # chunk-vmapped like match_all: one compiled computation per chunk of
+        # stereo pairs (Hamming + ratio/cross-check + epipolar test) instead
+        # of per-pair dispatches
+        idx = {f: i for i, f in enumerate(self.fcids)}
+        stereo = [
+            (idx[(fid, 0)], idx[(fid, 1)], fid)
+            for fid in range(self.num_frames)
+            if (fid, 0) in idx and (fid, 1) in idx
+        ]
+        uv, valid, desc, bear = self._stack_features()
+        # stereo keeps ALL matches (the reference stores the full match list
+        # for the rectified pair, sfm.cpp:1217-1272) — cap at F, not at the
+        # all-pairs budget
+        MM = self.cfg.num_features_per_image
+        cfg = self.cfg
+
+        def one(a, b):
             m12 = match.match_descriptors(
-                jnp.asarray(c1["desc"]), jnp.asarray(c2["desc"]),
-                jnp.asarray(c1["valid"]), jnp.asarray(c2["valid"]),
-                self.cfg.feature_match_max_dist,
-                self.cfg.feature_match_test_next_best,
+                desc[a], desc[b], valid[a], valid[b],
+                cfg.feature_match_max_dist,
+                cfg.feature_match_test_next_best,
             )
-            m12 = np.asarray(m12)
-            rows = np.nonzero(m12 >= 0)[0]
-            pairs = np.stack([rows, m12[rows]], -1).astype(np.int32)
-            if len(pairs):
-                b0 = self._unproject(0, c1["uv"][pairs[:, 0]])
-                b1 = self._unproject(1, c2["uv"][pairs[:, 1]])
-                inl = np.asarray(geometry.epipolar_inliers(
-                    b0, b1, E, self.cfg.epipolar_error_threshold
-                ))
-                inliers = pairs[inl]
-            else:
-                inliers = pairs
-            self.matches[(f1, f2)] = {
-                "T_i_j": T_0_1, "matches": pairs, "inliers": inliers,
-            }
-            num_matches += len(pairs)
-            num_inliers += len(inliers)
+            pairs, pvalid, count = match.matches_to_pairs(m12, MM)
+            b0 = bear[a][pairs[:, 0]]
+            b1 = bear[b][pairs[:, 1]]
+            inl = geometry.epipolar_inliers(
+                b0, b1, E, cfg.epipolar_error_threshold
+            ) & pvalid
+            return pairs, count, inl
+
+        chunk_fn = jax.jit(lambda i1, i2: jax.vmap(one)(i1, i2))
+        C = cfg.match_chunk_pairs
+        for s in range(0, len(stereo), C):
+            chunk = stereo[s : s + C]
+            pad = C - len(chunk)
+            i1 = np.array([a for a, _, _ in chunk] + [0] * pad, np.int32)
+            i2 = np.array([b for _, b, _ in chunk] + [1] * pad, np.int32)
+            pairs, count, inl = jax.tree_util.tree_map(
+                np.asarray, chunk_fn(jnp.asarray(i1), jnp.asarray(i2))
+            )
+            for ci, (_, _, fid) in enumerate(chunk):
+                n = int(count[ci])
+                all_pairs = pairs[ci][:n].astype(np.int32)
+                inliers = pairs[ci][inl[ci]].astype(np.int32)
+                self.matches[((fid, 0), (fid, 1))] = {
+                    "T_i_j": T_0_1, "matches": all_pairs, "inliers": inliers,
+                }
+                num_matches += n
+                num_inliers += len(inliers)
         self.timings["match_stereo"] = time.time() - t0
         self.log(
             f"Matched {self.num_frames} stereo pairs with {num_inliers} inlier "
@@ -376,37 +456,40 @@ class SfmPipeline:
         )
         self.stage = Stage.OPTIMIZE
 
-    def add_landmarks_between(self, fcid0, fcid1) -> int:
-        """Triangulate shared, not-yet-landmark tracks between two mapped
-        cameras (add_new_landmarks_between_cams, map_utils.h:121-195)."""
-        shared = tracks_mod.tracks_in_images({fcid0, fcid1}, self.tracks)
-        new_tids = [t for t in shared if t not in self.landmarks]
-        if not new_tids:
-            return 0
+    def _batch_triangulate(self, rows: list):
+        """Triangulate (fcid0, fcid1, tid) rows in one bucketed kernel call
+        with the parallax gate; returns (inv_depth (N,), ok (N,))."""
         uv0 = np.stack(
-            [self.corners[fcid0]["uv"][self.tracks[t][fcid0]] for t in new_tids]
+            [self.corners[f0]["uv"][self.tracks[t][f0]] for f0, _, t in rows]
         )
         uv1 = np.stack(
-            [self.corners[fcid1]["uv"][self.tracks[t][fcid1]] for t in new_tids]
+            [self.corners[f1]["uv"][self.tracks[t][f1]] for _, f1, t in rows]
         )
-        f0 = self._unproject(fcid0[1], uv0)
-        f1 = self._unproject(fcid1[1], uv1)
-        T_w_c0 = jnp.asarray(self.cameras[fcid0])
-        T_w_c1 = jnp.asarray(self.cameras[fcid1])
-        T_0_1 = se3.compose(se3.inverse(T_w_c0), T_w_c1)
-        p0 = geometry.triangulate_midpoint(f0, f1, T_0_1)
-        inv_depth = np.asarray(1.0 / jnp.linalg.norm(p0, axis=-1))
-
+        intr = np.asarray(self.calib.intrinsics)
+        intr0 = intr[np.array([f0[1] for f0, _, _ in rows])]
+        intr1 = intr[np.array([f1[1] for _, f1, _ in rows])]
+        T0 = np.stack([np.asarray(self.cameras[f0]) for f0, _, _ in rows])
+        T1 = np.stack([np.asarray(self.cameras[f1]) for _, f1, _ in rows])
+        N = len(rows)
+        M = _bucket(N, 256)
         # parallax gate: rays must subtend a minimum angle at the point,
         # else the midpoint depth is unconstrained (see config note)
-        Rf1 = se3.quat_rotate(se3.rotation(T_0_1), f1)
-        cos_ang = np.asarray(jnp.sum(f0 * Rf1, axis=-1))
-        min_cos = np.cos(np.deg2rad(self.cfg.min_triangulation_angle_deg))
-        ok = (cos_ang < min_cos) & np.isfinite(inv_depth) & (inv_depth > 0)
+        min_cos = float(np.cos(np.deg2rad(self.cfg.min_triangulation_angle_deg)))
+        inv_depth, ok = _triangulate_rows_kernel(
+            self.model,
+            jnp.asarray(_pad_rows(uv0, M)), jnp.asarray(_pad_rows(uv1, M)),
+            jnp.asarray(_pad_rows(intr0, M)), jnp.asarray(_pad_rows(intr1, M)),
+            jnp.asarray(_pad_rows(T0, M)), jnp.asarray(_pad_rows(T1, M)),
+            min_cos,
+        )
+        return np.asarray(inv_depth)[:N], np.asarray(ok)[:N]
 
+    def _add_triangulated(self, rows, inv_depth, ok) -> int:
+        """First-passing-row-wins landmark insertion (pair order = the
+        reference's sequential pair processing, sfm.cpp:1826-1880)."""
         n_new = 0
-        for t, rho, good in zip(new_tids, inv_depth, ok):
-            if not good:
+        for (f0, f1, t), rho, good in zip(rows, inv_depth, ok):
+            if not good or t in self.landmarks:
                 continue
             obs = {
                 fcid: feat
@@ -416,6 +499,17 @@ class SfmPipeline:
             self.landmarks[t] = Landmark(float(rho), obs)
             n_new += 1
         return n_new
+
+    def add_landmarks_between(self, fcid0, fcid1) -> int:
+        """Triangulate shared, not-yet-landmark tracks between two mapped
+        cameras (add_new_landmarks_between_cams, map_utils.h:121-195)."""
+        shared = tracks_mod.tracks_in_images({fcid0, fcid1}, self.tracks)
+        new_tids = [t for t in shared if t not in self.landmarks]
+        if not new_tids:
+            return 0
+        rows = [(fcid0, fcid1, t) for t in new_tids]
+        inv_depth, ok = self._batch_triangulate(rows)
+        return self._add_triangulated(rows, inv_depth, ok)
 
     # -------------------------------------------------------- incremental map
 
@@ -595,10 +689,25 @@ class SfmPipeline:
             self.log("No more cameras for which to add landmarks.")
         else:
             fcid = candidate.fcid
-            n_new = 0
+            # one bucketed triangulation over ALL (existing, new) pairs; the
+            # first passing row in pair order wins, which is exactly the
+            # reference's sequential pair processing (sfm.cpp:1826-1880)
+            rows = []
             for fcid_existing in list(self.cameras):
-                if fcid_existing != fcid:
-                    n_new += self.add_landmarks_between(fcid_existing, fcid)
+                if fcid_existing == fcid:
+                    continue
+                shared = tracks_mod.tracks_in_images(
+                    {fcid_existing, fcid}, self.tracks
+                )
+                rows.extend(
+                    (fcid_existing, fcid, t)
+                    for t in shared
+                    if t not in self.landmarks
+                )
+            n_new = 0
+            if rows:
+                inv_depth, ok = self._batch_triangulate(rows)
+                n_new = self._add_triangulated(rows, inv_depth, ok)
             self.log(f"Added {n_new} new landmarks for image {fcid}.")
             more_to_add = sum(c.landmarks_added for c in self.candidates) < sum(
                 c.camera_added for c in self.candidates
@@ -741,15 +850,23 @@ class SfmPipeline:
             return {}
         tids = [r[0] for r in rows]
         p_w = self.landmark_positions(tids)  # batched get_p per row's landmark
-        T = jnp.asarray(np.stack([self.cameras[r[1]] for r in rows]))
+        T = np.stack([np.asarray(self.cameras[r[1]]) for r in rows])
         uv_meas = np.stack([self.corners[r[1]]["uv"][r[2]] for r in rows])
         cam_ids = np.array([r[1][1] for r in rows])
-        intr = jnp.asarray(self.calib.intrinsics)[cam_ids]
-        p_c = se3.act(se3.inverse(T), jnp.asarray(p_w))
-        uv_proj = cam_models.project(self.model, intr, p_c)
-        err = np.asarray(jnp.linalg.norm(jnp.asarray(uv_meas) - uv_proj, axis=-1))
-        dist = np.asarray(jnp.linalg.norm(p_c, axis=-1))
-        zc = np.asarray(p_c[:, 2])
+        intr = np.asarray(self.calib.intrinsics)[cam_ids]
+        N = len(rows)
+        M = _bucket(N, 256)
+        uv_proj, err, dist, zc = jax.tree_util.tree_map(
+            np.asarray,
+            _project_rows_kernel(
+                self.model,
+                jnp.asarray(_pad_rows(uv_meas, M)),
+                jnp.asarray(_pad_rows(intr, M)),
+                jnp.asarray(_pad_rows(T, M)),
+                jnp.asarray(_pad_rows(p_w, M)),
+            ),
+        )
+        uv_proj, err, dist, zc = uv_proj[:N], err[:N], dist[:N], zc[:N]
 
         cfg = self.cfg
         flags = np.zeros(len(rows), np.int32)
@@ -845,6 +962,12 @@ class SfmPipeline:
 
     # ----------------------------------------------------------- state machine
 
+    def _timed(self, name, fn, *args, **kwargs):
+        t0 = time.time()
+        out = fn(*args, **kwargs)
+        self.timings[name] = self.timings.get(name, 0.0) + (time.time() - t0)
+        return out
+
     def next_step(self) -> bool:
         """One pipeline step; returns False when done (next_step,
         sfm.cpp:1117-1167)."""
@@ -861,25 +984,25 @@ class SfmPipeline:
                     self.match_all()
             return True
         if not self.tracks:
-            self.build_tracks()
+            self._timed("build_tracks", self.build_tracks)
             return True
         if not self.cameras:
-            self.initialize_scene()
+            self._timed("init_scene", self.initialize_scene)
             return True
         if self.stage == Stage.COMPUTE_CANDIDATES:
-            self.compute_camera_candidate_set()
+            self._timed("candidates", self.compute_camera_candidate_set)
             return True
         if self.stage == Stage.ADD_CAMERAS:
-            self.add_next_camera()
+            self._timed("add_cameras", self.add_next_camera)
             return True
         if self.stage == Stage.ADD_LANDMARKS:
-            self.add_new_landmarks()
+            self._timed("add_landmarks", self.add_new_landmarks)
             return True
         if self.stage == Stage.OPTIMIZE:
             self.optimize()
             return True
         if self.stage == Stage.REMOVE_OUTLIERS:
-            self.remove_outlier_landmarks()
+            self._timed("remove_outliers", self.remove_outlier_landmarks)
             return True
         self.log(self.summary())
         return False
