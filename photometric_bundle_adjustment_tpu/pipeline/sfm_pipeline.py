@@ -135,6 +135,22 @@ def _pad_rows(x: np.ndarray, M: int) -> np.ndarray:
     return np.concatenate([x, np.repeat(x[-1:], M - n, axis=0)])
 
 
+@functools.partial(
+    jax.jit, static_argnames=("model", "pixel_threshold", "num_hypotheses")
+)
+def _localize_kernel(model, uv, intr, points, valid, key,
+                     pixel_threshold, num_hypotheses):
+    """Unproject + PnP RANSAC in one compiled program (localize_camera,
+    map_utils.h:242-302); all shapes bucketed by the caller."""
+    bearings = cam_models.unproject_unit(
+        model, jnp.broadcast_to(intr, (uv.shape[0],) + intr.shape), uv
+    )
+    return ransac.ransac_pnp(
+        bearings, points, valid, key,
+        pixel_threshold=pixel_threshold, num_hypotheses=num_hypotheses,
+    )
+
+
 
 class SfmPipeline:
     def __init__(self, images: dict, calib, cfg: SfmConfig = SfmConfig(),
@@ -171,14 +187,6 @@ class SfmPipeline:
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
-
-    def intrinsics(self, cam_id: int) -> jnp.ndarray:
-        return jnp.asarray(self.calib.intrinsics[cam_id])
-
-    def _unproject(self, cam_id: int, uv) -> jnp.ndarray:
-        return cam_models.unproject_unit(
-            self.model, self.intrinsics(cam_id), jnp.asarray(uv)
-        )
 
     def landmark_positions(self, tids: list) -> np.ndarray:
         """Batched Landmark::get_p (common_types.h:205-217); bucketed so the
@@ -584,26 +592,24 @@ class SfmPipeline:
             [self.corners[fcid]["uv"][self.tracks[t][fcid]]
              for t in shared_track_ids]
         )
-        bearings = self._unproject(fcid[1], uv)
         points = self.landmark_positions(shared_track_ids)
         # fixed 1024-slot pad for typical counts: ONE compiled localize
-        # kernel instead of one per power-of-two bucket (compiles dominate
-        # wall-clock on the tunneled TPU)
-        M = _bucket(len(shared_track_ids), minimum=1024)
-        pad = M - len(shared_track_ids)
-        bearings = jnp.concatenate(
-            [bearings, jnp.zeros((pad, 3), bearings.dtype).at[:, 2].set(1.0)]
+        # kernel (unproject + RANSAC) instead of one per varying shape
+        # (compiles dominate wall-clock on the tunneled TPU)
+        N = len(shared_track_ids)
+        M = _bucket(N, minimum=1024)
+        intr = np.asarray(self.calib.intrinsics)[fcid[1]]
+        T_w_c, inl = _localize_kernel(
+            self.model,
+            jnp.asarray(_pad_rows(uv, M)),
+            jnp.asarray(intr),
+            jnp.asarray(_pad_rows(points, M)),
+            jnp.asarray(np.arange(M) < N),
+            self._next_key(),
+            float(self.cfg.reprojection_error_pnp_inlier_threshold_pixel),
+            int(self.cfg.pnp_hypotheses),
         )
-        points = jnp.asarray(
-            np.concatenate([points, np.tile([0, 0, 1.0], (pad, 1))])
-        )
-        valid = jnp.arange(M) < len(shared_track_ids)
-        T_w_c, inl = ransac.ransac_pnp(
-            bearings, points, valid, self._next_key(),
-            pixel_threshold=self.cfg.reprojection_error_pnp_inlier_threshold_pixel,
-            num_hypotheses=self.cfg.pnp_hypotheses,
-        )
-        inl = np.asarray(inl)[: len(shared_track_ids)]
+        inl = np.asarray(inl)[:N]
         inlier_tids = [t for t, ok in zip(shared_track_ids, inl) if ok]
         return np.asarray(T_w_c), inlier_tids
 
