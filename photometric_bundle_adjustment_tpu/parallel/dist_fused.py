@@ -1,0 +1,350 @@
+"""Distributed fused-assembly bundle adjustment over a device mesh.
+
+Combines the two performance layers of the framework:
+
+  * the plan-based fused Schur assembly of ``optim.fused`` (no scatter-adds,
+    no materialised H_cp, analytic lambda damping), and
+  * the landmark-sharded data parallelism of ``parallel.dist_ba``
+    (SURVEY §2.3 / §7 step 7: observation + landmark axes sharded, camera
+    state replicated),
+
+as an explicit ``shard_map`` program: each device assembles the
+camera-sized normal-equation pieces for its landmark shard with its own
+host-precomputed plan, the ONLY collectives are ``psum`` of the reduced
+camera system (H_cc, S_corr0, rhs_corr0, g_c — all O(K^2 C^2), independent
+of the landmark count), the dense Cholesky runs replicated, and the
+landmark back-substitution is shard-local.
+
+Shards are **landmark-aligned**: a landmark's observations (and therefore
+its Schur entry pairs) always live on one device, assigned by balancing
+observation counts over contiguous landmark ranges.  This replaces the
+reference's shared-memory TBB/Ceres-threads parallelism
+(include/visnav/map_utils.h:377-383) with ICI-collective data parallelism.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from photometric_bundle_adjustment_tpu.optim import ba, fused
+from photometric_bundle_adjustment_tpu.optim.schur_plan import (
+    ChunkPlan,
+    SchurPlan,
+    build_schur_plan,
+)
+from photometric_bundle_adjustment_tpu.parallel.mesh import DATA_AXIS
+
+
+class ShardedFusedProblem(NamedTuple):
+    """A BAProblem split into landmark-aligned shards (leading axis = D)
+    plus per-shard assembly plans (padded to common shapes)."""
+
+    problem: ba.BAProblem       # obs/landmark arrays (D*O_s,)/(D*L_s,), cams (K,...)
+    plans: SchurPlan            # arrays stacked (D, ...)
+    n_shards: int
+
+
+def _pad_leading(x: np.ndarray, n: int, fill) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    pad = np.full((n - x.shape[0],) + x.shape[1:], fill, x.dtype)
+    return np.concatenate([x, pad])
+
+
+def prepare(problem: ba.BAProblem, mesh: Mesh) -> ShardedFusedProblem:
+    """Host-side: sort observations by landmark, assign contiguous landmark
+    ranges to shards balancing observation counts, localise landmark
+    indices, pad every shard to common (O_s, L_s), and build one SchurPlan
+    per shard (padded to common chunk counts)."""
+    D = mesh.devices.size
+    o = problem.obs
+    an = np.asarray(o.anchor_cam)
+    tn = np.asarray(o.target_cam)
+    ln = np.asarray(o.landmark)
+    valid = np.asarray(o.valid) != 0
+    K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
+    L = problem.inv_depth.shape[0]
+
+    order = np.argsort(ln, kind="stable")
+    # landmark -> shard by balancing valid-obs counts over contiguous ranges
+    obs_per_lm = np.bincount(ln[valid], minlength=L)
+    target = max(1.0, obs_per_lm.sum() / D)
+    cum = np.cumsum(obs_per_lm)
+    lm_shard = np.minimum((cum - 1e-9) // target, D - 1).astype(np.int64)
+    lm_shard = np.maximum.accumulate(lm_shard)  # monotone over landmark id
+
+    obs_shard = lm_shard[ln]
+    L_s = int(np.bincount(lm_shard, minlength=D).max())
+    O_s = int(np.bincount(obs_shard[order], minlength=D).max())
+
+    lm_start = np.searchsorted(lm_shard, np.arange(D))
+    lm_count = np.bincount(lm_shard, minlength=D)
+
+    def np_of(x):
+        return np.asarray(x)
+
+    aux_leaves, aux_tree = jax.tree_util.tree_flatten(o.aux)
+    aux_np = [np_of(x) for x in aux_leaves]
+
+    obs_fields = {
+        "anchor_cam": an, "target_cam": tn,
+        "valid": np.asarray(o.valid),
+    }
+    shards = {k: [] for k in obs_fields}
+    shards["landmark"] = []
+    aux_shards = [[] for _ in aux_np]
+    inv_shards, lmv_shards, plans = [], [], []
+
+    inv_np = np.asarray(problem.inv_depth)
+    lmv_np = np.asarray(problem.lm_valid)
+
+    for d in range(D):
+        sel = order[obs_shard[order] == d]
+        ln_local = ln[sel] - lm_start[d]
+        for k, src in obs_fields.items():
+            shards[k].append(_pad_leading(src[sel], O_s, 0))
+        shards["landmark"].append(
+            _pad_leading(ln_local.astype(np.int64), O_s, 0)
+        )
+        for i, src in enumerate(aux_np):
+            aux_shards[i].append(_pad_leading(src[sel], O_s, 0))
+        lo, n_lm = lm_start[d], lm_count[d]
+        inv_shards.append(_pad_leading(inv_np[lo : lo + n_lm], L_s, 1.0))
+        lmv_shards.append(_pad_leading(lmv_np[lo : lo + n_lm], L_s, False))
+        valid_local = _pad_leading(valid[sel], O_s, False)
+        plans.append(
+            build_schur_plan(
+                shards["anchor_cam"][-1], shards["target_cam"][-1],
+                shards["landmark"][-1], K, L_s, valid=valid_local,
+            )
+        )
+
+    # pad plans to common chunk counts (dummy rows follow each plan's own
+    # conventions: gidx -> payload-zero row, rows -> dropped output row)
+    def stack_plans(get, dummy):
+        arrs = [get(p) for p in plans]
+        n = max(a.shape[0] for a in arrs)
+        return np.stack([_pad_leading(a, n, dummy) for a in arrs])
+
+    NE = L_s + O_s
+    stacked = SchurPlan(
+        pg=stack_plans(lambda p: p.pg, O_s),
+        cc_rows4=stack_plans(lambda p: p.cc_rows4, K * K),
+        lm=ChunkPlan(
+            gidx=stack_plans(lambda p: p.lm.gidx, O_s),
+            rows=stack_plans(lambda p: p.lm.rows, L_s),
+        ),
+        gc=ChunkPlan(
+            gidx=stack_plans(lambda p: p.gc.gidx, 2 * O_s),
+            rows=stack_plans(lambda p: p.gc.rows, K),
+        ),
+        pr_e1=stack_plans(lambda p: p.pr_e1, NE),
+        pr_e2=stack_plans(lambda p: p.pr_e2, NE),
+        pr_rows=stack_plans(lambda p: p.pr_rows, K * K),
+        dg=ChunkPlan(
+            gidx=stack_plans(lambda p: p.dg.gidx, NE),
+            rows=stack_plans(lambda p: p.dg.rows, K * K),
+        ),
+        ec=ChunkPlan(
+            gidx=stack_plans(lambda p: p.ec.gidx, NE),
+            rows=stack_plans(lambda p: p.ec.rows, K),
+        ),
+        entry_cam=stack_plans(lambda p: p.entry_cam, 0),
+        entry_lm=stack_plans(lambda p: p.entry_lm, 0),
+    )
+
+    dtype = inv_np.dtype
+    obs = ba.BAObservations(
+        anchor_cam=jnp.asarray(np.concatenate(shards["anchor_cam"])),
+        target_cam=jnp.asarray(np.concatenate(shards["target_cam"])),
+        landmark=jnp.asarray(np.concatenate(shards["landmark"]).astype(np.int32)),
+        aux=jax.tree_util.tree_unflatten(
+            aux_tree, [jnp.asarray(np.concatenate(a)) for a in aux_shards]
+        ),
+        valid=jnp.asarray(np.concatenate(shards["valid"]).astype(dtype)),
+    )
+    sharded_problem = ba.BAProblem(
+        cam_states=problem.cam_states,
+        inv_depth=jnp.asarray(np.concatenate(inv_shards)),
+        obs=obs,
+        fixed_cams=problem.fixed_cams,
+        lm_valid=jnp.asarray(np.concatenate(lmv_shards)),
+    )
+
+    # place on the mesh
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    sharded_problem = ba.BAProblem(
+        cam_states=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), sharded_problem.cam_states
+        ),
+        inv_depth=jax.device_put(sharded_problem.inv_depth, data),
+        obs=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, data), sharded_problem.obs
+        ),
+        fixed_cams=jax.device_put(sharded_problem.fixed_cams, repl),
+        lm_valid=jax.device_put(sharded_problem.lm_valid, data),
+    )
+    plans_dev = jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), data), stacked
+    )
+    return ShardedFusedProblem(sharded_problem, plans_dev, D)
+
+
+def make_distributed_fused_solver(
+    residual_fn, cam_retract, cam_tangent_dim, mesh: Mesh, rj_fn=None
+):
+    """Returns solve(sharded: ShardedFusedProblem, cfg) -> (problem, BAResult).
+
+    The entire LM loop runs as one shard_map program; collectives per
+    normal-equation build: one psum of (cost, H_cc, S_corr0, rhs_corr0,
+    g_c); per cost evaluation: one psum of the scalar cost.
+    """
+    try:
+        from jax import shard_map as _sm
+
+        def shard_map(f, *, mesh, in_specs, out_specs, check_rep):
+            return _sm(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=check_rep,
+            )
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    solver = fused.make_fused_ba_solver(
+        residual_fn, cam_retract, cam_tangent_dim, rj_fn=rj_fn
+    )
+    res_cost_local, _ = ba.make_ba_step(
+        residual_fn, cam_retract, cam_tangent_dim, rj_fn=rj_fn
+    )
+
+    def solve(sharded: ShardedFusedProblem, cfg: ba.BAConfig = ba.BAConfig()):
+        D = sharded.n_shards
+
+        def local_views(problem, plans):
+            plan = jax.tree_util.tree_map(lambda x: x[0], plans)
+            return problem, plan
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                ba.BAProblem(
+                    cam_states=jax.tree_util.tree_map(
+                        lambda _: P(), sharded.problem.cam_states
+                    ),
+                    inv_depth=P(DATA_AXIS),
+                    obs=jax.tree_util.tree_map(
+                        lambda _: P(DATA_AXIS), sharded.problem.obs
+                    ),
+                    fixed_cams=P(),
+                    lm_valid=P(DATA_AXIS),
+                ),
+                jax.tree_util.tree_map(lambda _: P(DATA_AXIS), sharded.plans),
+            ),
+            out_specs=(
+                ba.BAProblem(
+                    cam_states=jax.tree_util.tree_map(
+                        lambda _: P(), sharded.problem.cam_states
+                    ),
+                    inv_depth=P(DATA_AXIS),
+                    obs=jax.tree_util.tree_map(
+                        lambda _: P(DATA_AXIS), sharded.problem.obs
+                    ),
+                    fixed_cams=P(),
+                    lm_valid=P(DATA_AXIS),
+                ),
+                ba.BAResult(cost=P(), initial_cost=P(), iterations=P(), lam=P()),
+            ),
+            check_rep=False,
+        )
+        def run(problem, plans):
+            prob, plan = local_views(problem, plans)
+            free = ~prob.fixed_cams
+            dtype = prob.inv_depth.dtype
+
+            def cost_fn(p):
+                return jax.lax.psum(res_cost_local(p, cfg), DATA_AXIS)
+
+            def build_psum(p):
+                cost, neq = solver.build(p, plan, cfg)
+                H_cc, S0, rhs0, H_pp, g_c, g_p, v, inv0 = neq
+                cost, H_cc, S0, rhs0, g_c = jax.lax.psum(
+                    (cost, H_cc, S0, rhs0, g_c), DATA_AXIS
+                )
+                return cost, (H_cc, S0, rhs0, H_pp, g_c, g_p, v, inv0)
+
+            with jax.default_matmul_precision("float32"):
+                init_cost = cost_fn(prob)
+
+                def body(state):
+                    p, lam, cost, it, done = state
+                    _, neq = build_psum(p)
+
+                    def try_step(lam_try):
+                        dc, dp = solver.solve_lam(neq, plan, lam_try, free, cfg)
+                        new_cams = jax.vmap(cam_retract)(p.cam_states, dc)
+                        p_try = p._replace(
+                            cam_states=new_cams, inv_depth=p.inv_depth + dp
+                        )
+                        return p_try, cost_fn(p_try)
+
+                    def inner_cond(s):
+                        lam_i, ok, _, tries = s
+                        return (~ok) & (tries < cfg.max_retries) & (
+                            lam_i <= cfg.max_lambda
+                        )
+
+                    def inner_body(s):
+                        lam_i, _, _, tries = s
+                        _, new_cost = try_step(lam_i)
+                        ok = (new_cost < cost) & jnp.isfinite(new_cost)
+                        return (
+                            jnp.where(ok, lam_i, lam_i * 10.0), ok, new_cost,
+                            tries + 1,
+                        )
+
+                    lam_f, accepted, new_cost, _ = jax.lax.while_loop(
+                        inner_cond, inner_body, (lam, False, cost, 0)
+                    )
+                    p_acc, acc_cost = try_step(lam_f)
+                    p_new = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(accepted, a, b), p_acc, p
+                    )
+                    cost_new = jnp.where(accepted, acc_cost, cost)
+                    lam_new = jnp.where(
+                        accepted, jnp.maximum(lam_f / 3.0, cfg.min_lambda),
+                        lam_f,
+                    )
+                    small = jnp.abs(cost - cost_new) <= (
+                        cfg.function_tolerance * jnp.maximum(cost, 1e-300)
+                    )
+                    return (p_new, lam_new, cost_new, it + 1,
+                            (~accepted) | small)
+
+                def cond(state):
+                    _, _, _, it, done = state
+                    return (~done) & (it < cfg.max_iterations)
+
+                state0 = (
+                    prob, jnp.asarray(cfg.init_lambda, dtype), init_cost,
+                    jnp.asarray(0), jnp.asarray(False),
+                )
+                p_f, lam, cost, iters, _ = jax.lax.while_loop(
+                    cond, body, state0
+                )
+            return p_f, ba.BAResult(
+                cost=cost, initial_cost=init_cost, iterations=iters, lam=lam
+            )
+
+        jitted = jax.jit(run, static_argnames=())
+        with mesh:
+            return jitted(sharded.problem, sharded.plans)
+
+    return solve
