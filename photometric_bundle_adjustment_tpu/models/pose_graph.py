@@ -39,6 +39,17 @@ class TranslationGraph(NamedTuple):
     weight: jax.Array
 
 
+class MetricEdges(NamedTuple):
+    """Edges with KNOWN metric relative translation in world frame (e.g.
+    calibrated stereo pairs): residual  t_j - t_i - t_ij_world.  These anchor
+    the global scale that direction-only residuals leave weakly constrained."""
+
+    edge_i: jax.Array
+    edge_j: jax.Array
+    t_ij_world: jax.Array  # (E, 3) metric displacement c_j - c_i in world
+    weight: jax.Array
+
+
 class PoseGraph(NamedTuple):
     edge_i: jax.Array
     edge_j: jax.Array
@@ -51,8 +62,14 @@ def rotation_averaging(
     graph: RotationGraph,
     fixed: jax.Array,       # (N,) bool — gauge
     max_iterations: int = 50,
+    huber_delta: float = 0.05,
 ):
-    """Returns (quats (N, 4), LMResult)."""
+    """Returns (quats (N, 4), LMResult).
+
+    Robustified by default (Huber on the per-edge so3-log block, ~3 deg):
+    relative rotations from two-view RANSAC are heavy-tailed — a handful of
+    wrong-chirality / degenerate-pair edges would otherwise bias every
+    camera by several degrees."""
     N = quats0.shape[0]
 
     def residuals(quats):
@@ -68,7 +85,8 @@ def rotation_averaging(
         )
 
     mask = jnp.repeat(jnp.asarray(fixed), 3)
-    cfg = LMConfig(max_iterations=max_iterations, function_tolerance=1e-16)
+    cfg = LMConfig(max_iterations=max_iterations, function_tolerance=1e-16,
+                   huber_delta=huber_delta, block_size=3)
     return lm_solve(residuals, quats0, retract, N * 3, cfg, fixed_mask=mask)
 
 
@@ -77,20 +95,34 @@ def translation_averaging(
     graph: TranslationGraph,
     fixed: jax.Array,       # (N,) bool — needs >= 2 fixed (scale gauge)
     max_iterations: int = 50,
+    metric: MetricEdges | None = None,
+    huber_delta: float = 0.1,
 ):
+    """Robustified by default: two-view translation directions are
+    meaningless for near-zero-baseline pairs (direction errors up to 180
+    deg), so the per-block Huber is essential.  Metric-edge weights should
+    be scaled so their expected converged residual sits inside the Huber
+    region (weight * metres <= huber_delta)."""
     N = t0.shape[0]
 
     def residuals(t):
         diff = t[graph.edge_j] - t[graph.edge_i]
         n = jnp.linalg.norm(diff, axis=-1, keepdims=True) + 1e-6
         r = graph.t_hat_ij - diff / n
-        return (r * graph.weight[:, None]).reshape(-1)
+        r = (r * graph.weight[:, None]).reshape(-1)
+        if metric is not None:
+            rm = (
+                t[metric.edge_j] - t[metric.edge_i] - metric.t_ij_world
+            ) * metric.weight[:, None]
+            r = jnp.concatenate([r, rm.reshape(-1)])
+        return r
 
     def retract(t, delta):
         return t + delta.reshape(N, 3)
 
     mask = jnp.repeat(jnp.asarray(fixed), 3)
-    cfg = LMConfig(max_iterations=max_iterations, function_tolerance=1e-16)
+    cfg = LMConfig(max_iterations=max_iterations, function_tolerance=1e-16,
+                   huber_delta=huber_delta, block_size=3)
     return lm_solve(residuals, t0, retract, N * 3, cfg, fixed_mask=mask)
 
 

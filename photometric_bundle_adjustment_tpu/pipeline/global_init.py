@@ -135,6 +135,32 @@ def global_initialize(
     tgraph = pg.TranslationGraph(
         edge_i=ei, edge_j=ej, t_hat_ij=t_world, weight=w
     )
+    # metric stereo edges: every mapped stereo pair has a KNOWN metric
+    # relative translation from the calibration — these anchor the global
+    # scale that direction-only residuals leave weakly constrained
+    T_0_1_cal = se3.compose(
+        se3.inverse(jnp.asarray(pipe.calib.T_i_c[0])),
+        jnp.asarray(pipe.calib.T_i_c[1]),
+    )
+    t_stereo_cam = se3.translation(T_0_1_cal)
+    mi, mj = [], []
+    for f in sorted({f for (f, c) in index}):
+        if (f, 0) in index and (f, 1) in index:
+            mi.append(index[(f, 0)])
+            mj.append(index[(f, 1)])
+    metric = None
+    if mi:
+        mi = jnp.asarray(np.asarray(mi, np.int32))
+        mj = jnp.asarray(np.asarray(mj, np.int32))
+        t_m = jax.vmap(se3.quat_rotate)(
+            quats[mi], jnp.broadcast_to(t_stereo_cam, (mi.shape[0], 3))
+        )
+        # weight chosen so ~1 cm converged stereo error sits at the Huber
+        # boundary of translation_averaging (delta 0.1)
+        metric = pg.MetricEdges(
+            edge_i=mi, edge_j=mj, t_ij_world=t_m,
+            weight=jnp.full((mi.shape[0],), 10.0, t_m.dtype),
+        )
     # gauge: camera (0,0) at origin; (0,1) at the calibrated stereo offset
     t0 = np.zeros((N, 3))
     fixed_tr = np.zeros(N, bool)
@@ -164,12 +190,53 @@ def global_initialize(
                 changed = True
     trans, tres = pg.translation_averaging(
         jnp.asarray(t0), tgraph, jnp.asarray(fixed_tr),
-        max_iterations=max_iterations,
+        max_iterations=max_iterations, metric=metric,
     )
     log(f"Translation averaging: cost {float(tres.initial_cost):.4e} -> "
         f"{float(tres.cost):.4e} in {int(tres.iterations)} iterations")
 
-    poses = np.concatenate([np.asarray(trans), np.asarray(quats)], axis=1)
+    # Direction-only residuals leave the global scale weakly constrained
+    # (the two fixed cameras pin it in theory, but the solve can settle in
+    # a uniformly rescaled local optimum).  Re-anchor metric scale with the
+    # calibrated stereo baseline, measured over ALL mapped stereo pairs
+    # (median — robust), then re-polish the translations.
+    trans_np = np.asarray(trans)
+    if (0, 1) in index:
+        calib_baseline = float(np.linalg.norm(np.asarray(t0[index[(0, 1)]])))
+        frames = sorted({f for (f, c) in index})
+        measured = [
+            np.linalg.norm(trans_np[index[(f, 1)]] - trans_np[index[(f, 0)]])
+            for f in frames
+            if (f, 0) in index and (f, 1) in index
+        ]
+        if measured and calib_baseline > 0:
+            scale = calib_baseline / float(np.median(measured))
+            if abs(scale - 1.0) > 1e-3:
+                log(f"Global init: re-anchoring scale by x{scale:.4f} "
+                    f"(median stereo baseline {np.median(measured):.4f} m "
+                    f"vs calibrated {calib_baseline:.4f} m)")
+                trans_rescaled = trans_np * scale
+                trans_rescaled[index[root]] = 0.0
+                if (0, 1) in index:
+                    trans_rescaled[index[(0, 1)]] = np.asarray(
+                        t0[index[(0, 1)]]
+                    )
+                trans, tres = pg.translation_averaging(
+                    jnp.asarray(trans_rescaled), tgraph,
+                    jnp.asarray(fixed_tr), max_iterations=max_iterations,
+                    metric=metric,
+                )
+                trans_np = np.asarray(trans)
+                # keep the better-scaled iterate even if the direction cost
+                # ties (directions are scale-invariant)
+                log(
+                    "Translation averaging (rescaled): cost "
+                    f"{float(tres.initial_cost):.4e} -> "
+                    f"{float(tres.cost):.4e} in {int(tres.iterations)} "
+                    "iterations"
+                )
+
+    poses = np.concatenate([trans_np, np.asarray(quats)], axis=1)
     pipe.clear_map()
     for f, i in index.items():
         pipe.cameras[f] = poses[i]
