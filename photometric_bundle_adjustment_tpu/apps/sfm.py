@@ -28,6 +28,11 @@ def main(argv=None):
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
+        "--optimize-intrinsics", action="store_true",
+        help="Refine shared camera intrinsics during BA "
+             "(the reference's optimize_intrinsics option)",
+    )
+    parser.add_argument(
         "--global-init", action="store_true",
         help="Bootstrap all cameras at once by rotation/translation "
              "averaging over the match graph before the incremental loop",
@@ -63,7 +68,10 @@ def main(argv=None):
         + " ".join(calib.cam_types)
     )
 
-    cfg = SfmConfig(use_match_bow=bool(args.voc_path))
+    cfg = SfmConfig(
+        use_match_bow=bool(args.voc_path),
+        ba_optimize_intrinsics=args.optimize_intrinsics,
+    )
     pipe = SfmPipeline(images, calib, cfg, cache_dir=args.cache_dir, seed=args.seed)
     if args.voc_path:
         from photometric_bundle_adjustment_tpu.features import bow

@@ -826,6 +826,26 @@ class SfmPipeline:
             self.cameras[f] = poses[i]
         for i, t in enumerate(lm_list):
             self.landmarks[t].inv_depth = float(rho[i])
+        if self.cfg.ba_optimize_intrinsics:
+            # block-coordinate step on the shared per-physical-camera
+            # intrinsics (the reference's optimize_intrinsics option,
+            # map_utils.h:339-345: target-frame intrinsics blocks variable,
+            # ref-frame intrinsics held constant), then re-polish poses
+            self._refine_intrinsics()
+            problem, cam_list, lm_list = self._build_ba_problem()
+            solved, res2 = geometric_ba.bundle_adjustment(
+                problem, self.model, cfg
+            )
+            poses = np.asarray(solved.cam_states)
+            rho = np.asarray(solved.inv_depth)
+            for i, f in enumerate(cam_list):
+                self.cameras[f] = poses[i]
+            for i, t in enumerate(lm_list):
+                self.landmarks[t].inv_depth = float(rho[i])
+            res = res2._replace(
+                iterations=res.iterations + res2.iterations,
+                initial_cost=res.initial_cost,
+            )
         self.timings.setdefault("ba", 0.0)
         self.timings["ba"] += time.time() - t0
         self.timings["ba_iters"] = self.timings.get("ba_iters", 0) + int(
@@ -839,6 +859,61 @@ class SfmPipeline:
             )
         if self.stage == Stage.OPTIMIZE:
             self.stage = Stage.REMOVE_OUTLIERS
+
+    def _refine_intrinsics(self):
+        """Refine the shared (num_cams, 8) intrinsics with poses and depths
+        held fixed (TPU-native analog of the reference's optimize_intrinsics
+        BA option, map_utils.h:339-345: the anchor-frame unprojection uses
+        the pre-solve intrinsics as constants, the target-frame projection
+        is differentiated).  Updates ``self.calib.intrinsics`` in place and
+        invalidates the cached bearings."""
+        from photometric_bundle_adjustment_tpu.optim import lm as lm_mod
+
+        rows = [
+            (tid, fcid, feat)
+            for tid, lm in self.landmarks.items()
+            for fcid, feat in lm.obs.items()
+        ]
+        if not rows:
+            return
+        tids = [r[0] for r in rows]
+        p_w = self.landmark_positions(tids)
+        T = np.stack([np.asarray(self.cameras[r[1]]) for r in rows])
+        uv_meas = np.stack([self.corners[r[1]]["uv"][r[2]] for r in rows])
+        cam_ids = np.array([r[1][1] for r in rows])
+        N = len(rows)
+        M = _bucket(N, 256)
+        p_w_j = jnp.asarray(_pad_rows(p_w, M))
+        T_j = jnp.asarray(_pad_rows(T, M))
+        uv_j = jnp.asarray(_pad_rows(uv_meas, M))
+        cam_j = jnp.asarray(_pad_rows(cam_ids[:, None], M)[:, 0])
+        w_j = jnp.asarray((np.arange(M) < N).astype(p_w_j.dtype))
+        model = self.model
+        delta = self.cfg.reprojection_error_huber_pixel
+
+        p_c = se3.act(se3.inverse(T_j), p_w_j)  # fixed camera-frame points
+
+        def residuals(intr):
+            uv_proj = cam_models.project(model, intr[cam_j], p_c)
+            return ((uv_j - uv_proj) * w_j[:, None]).reshape(-1)
+
+        intr0 = jnp.asarray(np.asarray(self.calib.intrinsics, np.float64))
+        n_cams, F = intr0.shape
+        cfg = lm_mod.LMConfig(
+            max_iterations=10, huber_delta=delta, block_size=2
+        )
+        intr_opt, res = lm_mod.lm_solve(
+            residuals, intr0,
+            lambda x, d: x + d.reshape(n_cams, F),
+            n_cams * F, cfg,
+        )
+        self.calib.intrinsics = np.asarray(intr_opt)
+        self._stacked = None  # bearings depend on intrinsics
+        if self.cfg.ba_verbose >= 1:
+            self.log(
+                f"Intrinsics refinement: cost {float(res.initial_cost):.6e} "
+                f"-> {float(res.cost):.6e} in {int(res.iterations)} iterations"
+            )
 
     # ------------------------------------------------------------- outliers
 

@@ -131,3 +131,32 @@ def test_global_initialization(mini_pipeline):
         for f in shared
     ]
     assert float(np.median(dpos)) < 0.05, dpos
+
+
+def test_optimize_intrinsics_option():
+    """The reference's optimize_intrinsics BA option (map_utils.h:339-345):
+    alternation refinement must run and keep (or improve) map quality."""
+    if not os.path.isdir(DATA):
+        pytest.skip("reference dataset not available")
+    images, _ = dataset.load_images(DATA, max_frames=3)
+    calib = calib_io.load_calibration(
+        os.path.join(os.path.dirname(__file__), "data", "opt_calib_ds.json")
+    )
+    calib.intrinsics = np.asarray(calib.intrinsics).copy()
+    fx0 = float(calib.intrinsics[0][0])
+    cfg = SfmConfig(match_chunk_pairs=8, ba_optimize_intrinsics=True)
+    logs = []
+    pipe = SfmPipeline(images, calib, cfg, seed=0, log=logs.append)
+    pipe.run()
+    assert len(pipe.cameras) == 6
+    # the refinement stage ran and reported monotone cost
+    ref_lines = [s for s in logs if s.startswith("Intrinsics refinement")]
+    assert ref_lines, logs[-5:]
+    # intrinsics were actually updated (self-calibration from 3 frames is
+    # near-degenerate — the reference's joint version is flagged broken,
+    # map_utils.h:339 — so we assert consistency, not ground-truth recovery)
+    assert float(pipe.calib.intrinsics[0][0]) != fx0
+    from photometric_bundle_adjustment_tpu.utils import evaluation
+
+    stats = evaluation.reprojection_stats(pipe)
+    assert stats["mean_px"] < 1.0
