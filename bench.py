@@ -39,7 +39,9 @@ def build_step(dtype, use_manual_jac: bool):
         geometric_ba.make_residual_fn("pinhole"), geometric_ba.cam_retract, 6,
         rj_fn=rj,
     )
-    plan = fused.plan_for_problem(problem)
+    # fixed observation graph -> tight (non-pow2) plan bucketing: the
+    # benchmark compiles once, so recompile-bounded padding buys nothing
+    plan = fused.plan_for_problem(problem, pow2_buckets=False)
 
     @jax.jit
     def lm_step(problem):

@@ -68,8 +68,23 @@ class SchurPlan(NamedTuple):
     entry_lm: np.ndarray   # (NE,) int32
 
 
-def _round_up(n: int, mult: int) -> int:
-    return ((n + mult - 1) // mult) * mult if n > 0 else mult
+def _round_up(n: int, minimum: int, pow2: bool = True) -> int:
+    """Round a chunk count up to a bucketed static shape.
+
+    pow2=True (default): next power of two >= minimum.  Chunk counts change
+    with every map update; power-of-two bucketing keeps the jitted solver's
+    shapes repeating (a handful of compiles per run instead of one per BA
+    call — remote compiles on tunneled TPUs cost 20-40 s each).
+
+    pow2=False: next multiple of ``minimum`` — tighter padding for problems
+    whose observation graph is fixed (benchmarks, one-shot solves), where
+    the ~1.3-1.7x pow2 padding would cost real throughput."""
+    if not pow2:
+        return ((n + minimum - 1) // minimum) * minimum if n > 0 else minimum
+    b = max(1, minimum)
+    while b < n:
+        b *= 2
+    return b
 
 
 def _chunk_segments(ids: np.ndarray, B: int):
@@ -98,10 +113,11 @@ def _chunk_segments(ids: np.ndarray, B: int):
     return gidx, rows
 
 
-def _build_chunk_plan(ids, B, dummy_payload, dummy_row, nc_bucket=256):
+def _build_chunk_plan(ids, B, dummy_payload, dummy_row, nc_bucket=256,
+                      pow2=True):
     gidx, rows = _chunk_segments(np.asarray(ids), B)
     NC = gidx.shape[0]
-    NCb = _round_up(NC, nc_bucket)
+    NCb = _round_up(NC, nc_bucket, pow2)
     g = np.full((NCb, B), dummy_payload, np.int64)
     g[:NC] = np.where(gidx >= 0, gidx, dummy_payload)
     r = np.full(NCb, dummy_row, np.int64)
@@ -122,6 +138,7 @@ def build_schur_plan(
     cam_chunk: int = 256,
     entry_pair_chunk: int = 32,
     nc_bucket: int = 64,
+    pow2_buckets: bool = True,
     max_entry_pairs: int | None = None,
 ) -> SchurPlan:
     """Build the assembly plan on the host from the observation graph.
@@ -151,7 +168,7 @@ def build_schur_plan(
     # map chunk-local gather slots back to original obs ids
     gidx = np.where(gidx >= 0, vidx[np.clip(gidx, 0, None)], O)
     NCp = gidx.shape[0]
-    NCpb = _round_up(NCp, nc_bucket)
+    NCpb = _round_up(NCp, nc_bucket, pow2_buckets)
     pg = np.full((NCpb, pair_chunk), O, np.int64)
     pg[:NCp] = gidx
     pa, pc = prows // K, prows % K
@@ -163,7 +180,7 @@ def build_schur_plan(
     g2, r2 = _chunk_segments(ln[vidx], lm_chunk)
     g2 = np.where(g2 >= 0, vidx[np.clip(g2, 0, None)], O)
     NC2 = g2.shape[0]
-    NC2b = _round_up(NC2, nc_bucket)
+    NC2b = _round_up(NC2, nc_bucket, pow2_buckets)
     lg = np.full((NC2b, lm_chunk), O, np.int64)
     lg[:NC2] = g2
     lr = np.full(NC2b, L, np.int64)
@@ -176,7 +193,7 @@ def build_schur_plan(
     g3, r3 = _chunk_segments(gc_ids, cam_chunk)
     g3 = np.where(g3 >= 0, gc_src[np.clip(g3, 0, None)], 2 * O)
     NC3 = g3.shape[0]
-    NC3b = _round_up(NC3, nc_bucket)
+    NC3b = _round_up(NC3, nc_bucket, pow2_buckets)
     gg = np.full((NC3b, cam_chunk), 2 * O, np.int64)
     gg[:NC3] = g3
     gr = np.full(NC3b, K, np.int64)
@@ -236,7 +253,7 @@ def build_schur_plan(
     pe2_pad = np.r_[pe2, NE]
     g4 = np.where(g4 >= 0, g4, NP_tot)
     NC4 = g4.shape[0]
-    NC4b = _round_up(NC4, nc_bucket)
+    NC4b = _round_up(NC4, nc_bucket, pow2_buckets)
     pr_e1 = np.full((NC4b, entry_pair_chunk), NE, np.int64)
     pr_e2 = np.full((NC4b, entry_pair_chunk), NE, np.int64)
     pr_e1[:NC4] = pe1_pad[g4]
@@ -247,8 +264,9 @@ def build_schur_plan(
     # diagonal entry pairs + rhs correction: over valid entries only
     # (anchor entries of landmarks with no valid obs have zero value anyway)
     dg_plan = _build_chunk_plan(entry_cam * K + entry_cam, cam_chunk,
-                                NE, K * K, nc_bucket)
-    ec_plan = _build_chunk_plan(entry_cam, cam_chunk, NE, K, nc_bucket)
+                                NE, K * K, nc_bucket, pow2_buckets)
+    ec_plan = _build_chunk_plan(entry_cam, cam_chunk, NE, K, nc_bucket,
+                                pow2_buckets)
 
     return SchurPlan(
         pg=pg.astype(np.int32),
