@@ -22,6 +22,12 @@ def main(argv=None):
     parser.add_argument("--show-gui", default="false")
     parser.add_argument("--cache-dir", default=None)
     parser.add_argument("--map-out", default="map_pba.pkl")
+    parser.add_argument(
+        "--map-in", default=None,
+        help="geometric map pickle (from apps.sfm) to refine directly, "
+             "skipping the geometric SfM run (keypoints are re-detected "
+             "deterministically to recover the anchor patches)",
+    )
     parser.add_argument("--pba-iterations", type=int, default=20)
     parser.add_argument("--huber-intensity", type=float, default=9.0)
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
@@ -53,8 +59,31 @@ def main(argv=None):
 
     pipe = SfmPipeline(images, calib, SfmConfig(), cache_dir=args.cache_dir)
     t0 = time.time()
-    pipe.run()
-    print(f"Geometric SfM done in {time.time() - t0:.1f}s: {pipe.summary()}")
+    if args.map_in:
+        from photometric_bundle_adjustment_tpu.pipeline.sfm_pipeline import (
+            Landmark,
+        )
+
+        with open(args.map_in, "rb") as f:
+            m = pickle.load(f)
+        # detection is deterministic, so recomputed corners carry the same
+        # feature ids the saved observations reference
+        if not pipe._load_cache("corners"):
+            pipe.detect_keypoints()
+        pipe.cameras = dict(m["cameras"])
+        pipe.tracks = dict(m.get("tracks", {}))
+        pipe.landmarks = {
+            t: Landmark(d["inv_depth"], dict(d["obs"]),
+                        dict(d.get("outlier_obs", {})))
+            if isinstance(d, dict) else d
+            for t, d in m["landmarks"].items()
+        }
+        print(f"Loaded geometric map from {args.map_in}: {pipe.summary()}")
+    else:
+        pipe.run()
+        print(
+            f"Geometric SfM done in {time.time() - t0:.1f}s: {pipe.summary()}"
+        )
 
     res = pba_refine.refine_photometric(
         pipe, max_iterations=args.pba_iterations,
