@@ -22,6 +22,7 @@ plain dicts — it is O(matches) pointer-chasing, not flops.
 from __future__ import annotations
 
 import functools
+import os
 import pickle
 import time
 from dataclasses import dataclass, field
@@ -352,32 +353,83 @@ class SfmPipeline:
         self._save_cache("matches")
 
     def _run_pair_matching(self, ids, mesh=None):
-        from photometric_bundle_adjustment_tpu.features import pair_matching
+        from photometric_bundle_adjustment_tpu.features import (
+            native_match,
+            pair_matching,
+        )
 
         cfg = self.cfg
         uv, valid, desc, bear = self._stack_features()
         C = cfg.match_chunk_pairs
 
-        chunk_fn = pair_matching.make_pair_matcher(
-            desc, valid, bear,
-            max_matches=cfg.max_matches_per_pair,
-            match_max_dist=cfg.feature_match_max_dist,
-            match_ratio=cfg.feature_match_test_next_best,
-            ransac_thresh=cfg.relative_pose_ransac_thresh,
-            ransac_min_inliers=cfg.relative_pose_ransac_min_inliers,
-            ransac_hypotheses=cfg.ransac_hypotheses,
-            mesh=mesh,
+        # CPU fast path: the native C++ Hamming matcher (all cores, same
+        # semantics bit-for-bit) supplies the match lists; the device only
+        # runs the batched RANSAC.  ~7x faster than XLA-on-CPU matching.
+        use_native = (
+            mesh is None
+            and jax.default_backend() == "cpu"
+            and not os.environ.get("PBA_TPU_DISABLE_NATIVE_MATCH")
+            and native_match.available()
         )
+        if use_native:
+            pa = np.array([a for a, _ in ids], np.int32)
+            pb = np.array([b for _, b in ids], np.int32)
+            m12_all = native_match.match_pairs(
+                np.asarray(desc), np.asarray(valid), pa, pb,
+                cfg.feature_match_max_dist, cfg.feature_match_test_next_best,
+            )
+            pairs_all, pvalid_all, count_all = pair_matching.compact_matches_np(
+                m12_all, cfg.max_matches_per_pair
+            )
+            rchunk = pair_matching.make_ransac_chunk(
+                bear,
+                ransac_thresh=cfg.relative_pose_ransac_thresh,
+                ransac_min_inliers=cfg.relative_pose_ransac_min_inliers,
+                ransac_hypotheses=cfg.ransac_hypotheses,
+            )
+
+            def run_chunk(i1, i2, s, e, pad):
+                def padi(x, fill=0):
+                    if not pad:
+                        return jnp.asarray(x[s:e])
+                    return jnp.asarray(np.concatenate(
+                        [x[s:e], np.full((pad,) + x.shape[1:], fill, x.dtype)]
+                    ))
+
+                T, inl, n_inl = rchunk(
+                    jnp.asarray(i1), jnp.asarray(i2), padi(pairs_all),
+                    padi(pvalid_all), padi(count_all), self._next_key(),
+                )
+                return (np.asarray(pairs_all[s:e]),
+                        np.asarray(count_all[s:e]),
+                        np.asarray(T), np.asarray(inl), np.asarray(n_inl))
+        else:
+            chunk_fn = pair_matching.make_pair_matcher(
+                desc, valid, bear,
+                max_matches=cfg.max_matches_per_pair,
+                match_max_dist=cfg.feature_match_max_dist,
+                match_ratio=cfg.feature_match_test_next_best,
+                ransac_thresh=cfg.relative_pose_ransac_thresh,
+                ransac_min_inliers=cfg.relative_pose_ransac_min_inliers,
+                ransac_hypotheses=cfg.ransac_hypotheses,
+                mesh=mesh,
+            )
 
         for s in range(0, len(ids), C):
             chunk = ids[s : s + C]
             pad = C - len(chunk)
             i1 = np.array([a for a, _ in chunk] + [0] * pad, np.int32)
             i2 = np.array([b for _, b in chunk] + [1] * pad, np.int32)
-            pairs, pvalid, count, T, inl, n_inl = jax.tree_util.tree_map(
-                np.asarray,
-                chunk_fn(jnp.asarray(i1), jnp.asarray(i2), self._next_key()),
-            )
+            if use_native:
+                pairs, count, T, inl, n_inl = run_chunk(
+                    i1, i2, s, s + len(chunk), pad
+                )
+            else:
+                pairs, pvalid, count, T, inl, n_inl = jax.tree_util.tree_map(
+                    np.asarray,
+                    chunk_fn(jnp.asarray(i1), jnp.asarray(i2),
+                             self._next_key()),
+                )
             for ci, (a, b) in enumerate(chunk):
                 n = int(count[ci])
                 all_pairs = pairs[ci][: n].astype(np.int32)

@@ -161,3 +161,37 @@ def test_ransac_pnp():
     inl = np.asarray(inl)
     assert inl[n_out:].mean() > 0.95
     assert inl[:n_out].mean() < 0.1
+
+
+def test_native_matcher_parity():
+    """C++ Hamming matcher (features/native_match.py) agrees bit-for-bit
+    with the XLA path when the ratio is exactly representable in f32 (the
+    f32-vs-f64 boundary subtlety is documented in native_match)."""
+    from photometric_bundle_adjustment_tpu.features import match, native_match
+
+    if not native_match.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    F = 512
+    base = rng.integers(0, 2**32, (F, 8), dtype=np.uint32)
+    pert = base[rng.permutation(F)].copy()
+    # flip ~24 random bits per descriptor -> realistic match structure
+    for i in range(F):
+        for _ in range(24):
+            w, b = rng.integers(0, 8), rng.integers(0, 32)
+            pert[i, w] ^= np.uint32(1 << b)
+    desc = np.stack([base, pert])
+    valid = rng.random((2, F)) > 0.06
+    for thr, ratio in [(70, 1.25), (70, 1.5), (100, 1.25)]:
+        m_native = native_match.match_pairs(
+            desc, valid, np.array([0], np.int32), np.array([1], np.int32),
+            thr, ratio,
+        )
+        m_xla = np.asarray(match.match_descriptors(
+            jnp.asarray(desc[0]), jnp.asarray(desc[1]),
+            jnp.asarray(valid[0]), jnp.asarray(valid[1]), thr, ratio,
+        ))
+        assert (m_xla >= 0).sum() > 50
+        assert np.array_equal(m_xla, m_native[0]), (thr, ratio)
