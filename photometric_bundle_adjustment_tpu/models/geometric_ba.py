@@ -183,20 +183,12 @@ def bundle_adjustment(
     (BundleAdjustmentOptions, map_utils.h:304-319).
 
     ``use_fused`` selects the plan-based fused assembly (optim.fused) —
-    faster on a single device; ``None`` means auto (fused unless the
-    covisibility graph makes the entry-pair expansion pathological).
+    faster on a single device; ``None`` means auto (fused).
     """
     if use_fused is None or use_fused:
         from photometric_bundle_adjustment_tpu.optim import fused
 
-        O = int(problem.obs.valid.shape[0])
-        try:
-            plan = fused.plan_for_problem(
-                problem, max_entry_pairs=max(64 * O, 1 << 20)
-            )
-            return make_fused_solver(model)(problem, plan, cfg)
-        except ValueError:
-            if use_fused:
-                raise
+        plan = fused.plan_for_problem(problem)
+        return make_fused_solver(model)(problem, plan, cfg)
     solve = make_solver(model)
     return solve(problem, cfg)

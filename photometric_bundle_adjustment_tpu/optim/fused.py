@@ -5,19 +5,22 @@ same problem layout (``ba.BAProblem``), same LM semantics (damped trust
 region with accept/reject, Huber IRLS, gauge masking), but the
 normal-equation assembly uses the gather/Gram-chunk plans from
 ``optim.schur_plan`` instead of XLA scatter-adds, and the Schur complement
-is assembled directly in camera-pair space so
+uses a dense per-landmark coupling matrix M (L, K*C) built by one-hot
+camera lifting so
 
-  * the dense (K*C, L) H_cp matrix never exists,
+  * the correction  S_corr0 = M^T diag(inv_hpp) M  is ONE MXU matmul and
+    the back-substitution is a matvec (no irregular gathers in the hot
+    loop — measured 3-4x faster on TPU v5e than the entry-pair
+    gather/scatter formulation this replaced),
   * the lambda dependence of the reduced system is analytic
     (S(lam) = H_cc + lam*diag - S_corr0 / (1 + lam)), so each LM retry costs
-    one dense Cholesky of the (K*C, K*C) system instead of a full
-    (K*C, L) x (L, K*C) matmul.
+    one dense Cholesky of the (K*C, K*C) system instead of a rebuild.
 
 Measured on TPU v5e at the reference-scale workload (200 cams, 8k landmarks,
-49k observations): 8-9 ms per LM iteration vs 15-16 ms for the scatter path
-— with matmul precision pinned to float32 (the TPU's default bf16-pass
-matmuls perturb the solve by ~4e-2; pinned, it matches the f64 solution to
-~8e-5, same as the CPU f32 path).
+49k observations): ~4 ms per LM iteration (entry-pair formulation: 7.8 ms;
+scatter path: 15-16 ms) — with matmul precision pinned to float32 (the
+TPU's default bf16-pass matmuls perturb the solve by ~4e-2; pinned, it
+matches the f64 solution to ~1e-4, same as the CPU f32 path).
 
 This replaces the Ceres SPARSE_SCHUR configuration of the reference
 (include/visnav/map_utils.h:377-383) for the latency-critical single-chip
@@ -41,9 +44,23 @@ from photometric_bundle_adjustment_tpu.optim.schur_plan import (  # noqa: F401
 )
 
 
-def plan_for_problem(problem: ba.BAProblem, **kwargs) -> SchurPlan:
-    """Build a SchurPlan from a (host-resident) BAProblem."""
+def plan_for_problem(problem: ba.BAProblem, host: bool | None = None,
+                     **kwargs):
+    """Build an assembly plan from a (host-resident) BAProblem.
+
+    ``host=None`` (default) picks the formulation by backend: the
+    entry-pair plan (``fused_host.HostSchurPlan``) on CPU, the dense
+    one-hot-lifting plan (``SchurPlan``) on accelerators.  The solver
+    returned by :func:`make_fused_ba_solver` dispatches on the plan type.
+    """
     import numpy as np
+
+    if host is None:
+        host = jax.default_backend() == "cpu"
+    if host:
+        from photometric_bundle_adjustment_tpu.optim import fused_host
+
+        return fused_host.plan_for_problem(problem, **kwargs)
 
     K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
     L = problem.inv_depth.shape[0]
@@ -70,19 +87,84 @@ def make_fused_ba_solver(
     cam_tangent_dim: int,
     rj_fn: Callable | None = None,
 ):
+    """Returns ``solve(problem, plan, cfg) -> (problem, BAResult)``.
+
+    Dispatches on the plan type: a ``fused_host.HostSchurPlan`` routes to
+    the CPU-optimal entry-pair solver, a ``SchurPlan`` to the dense
+    one-hot-lifting solver below (TPU-optimal).  ``.build``/``.solve_lam``
+    dispatch the same way.
+    """
+    from photometric_bundle_adjustment_tpu.optim import fused_host
+
+    dense = _make_dense_fused_ba_solver(
+        residual_fn, cam_retract, cam_tangent_dim, rj_fn=rj_fn
+    )
+    cell: list = []
+
+    def _route(plan):
+        if isinstance(plan, fused_host.HostSchurPlan):
+            if not cell:
+                cell.append(
+                    fused_host.make_fused_ba_solver(
+                        residual_fn, cam_retract, cam_tangent_dim, rj_fn=rj_fn
+                    )
+                )
+            return cell[0]
+        return dense
+
+    def solve(problem: ba.BAProblem, plan, cfg: ba.BAConfig = ba.BAConfig()):
+        return _route(plan)(problem, plan, cfg)
+
+    solve.build = lambda problem, plan, cfg: _route(plan).build(
+        problem, plan, cfg
+    )
+    solve.solve_lam = lambda neq, plan, lam, free, cfg: _route(plan).solve_lam(
+        neq, plan, lam, free, cfg
+    )
+    return solve
+
+
+def _make_dense_fused_ba_solver(
+    residual_fn: Callable,
+    cam_retract: Callable,
+    cam_tangent_dim: int,
+    rj_fn: Callable | None = None,
+):
     """Returns ``solve(problem, plan, cfg) -> (problem, BAResult)``."""
     C = cam_tangent_dim
     res_cost, _ = ba.make_ba_step(residual_fn, cam_retract, C, rj_fn=rj_fn)
 
     def _scaled_jacobians(problem: ba.BAProblem, cfg: ba.BAConfig):
-        """sqrt(Huber-weight)-scaled [Ja Jc Jp r] rows + robust cost."""
+        """sqrt(Huber-weight)-scaled Jacobian rows + residuals + robust cost.
+
+        The observation axis is padded by ONE trailing dummy row (valid=0)
+        so every downstream payload carries its gather-plan zero row for
+        free — plan gidx dummies already point at row O, and the padding
+        avoids a cascade of full-array ``concatenate`` copies that
+        dominated the assembly cost on TPU (zero-row concats of (O, .)
+        payloads are full HBM copies).
+        """
         o = problem.obs
-        cam_a = jax.tree_util.tree_map(lambda x: x[o.anchor_cam], problem.cam_states)
-        cam_c = jax.tree_util.tree_map(lambda x: x[o.target_cam], problem.cam_states)
-        rho = problem.inv_depth[o.landmark]
+        # pad to the next multiple of 8 (>= O+1) to keep the obs axis
+        # sublane-aligned; the plan's dummy index points at zero row O
+        npad = 8 - (o.valid.shape[0] % 8)
+
+        def pad1(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((npad,) + x.shape[1:], x.dtype)]
+            )
+
+        obs_p = jax.tree_util.tree_map(pad1, o)
+        cam_a = jax.tree_util.tree_map(
+            lambda x: x[obs_p.anchor_cam], problem.cam_states
+        )
+        cam_c = jax.tree_util.tree_map(
+            lambda x: x[obs_p.target_cam], problem.cam_states
+        )
+        rho = problem.inv_depth[obs_p.landmark]
 
         if rj_fn is not None:
-            r, J = jax.vmap(rj_fn)(cam_a, cam_c, rho, o.aux)
+            r, J = jax.vmap(rj_fn)(cam_a, cam_c, rho, obs_p.aux)
         else:
             def one(ca, cc_, rh, aux):
                 def f(d):
@@ -94,33 +176,30 @@ def make_fused_ba_solver(
                 zero = jnp.zeros((2 * C + 1,), problem.inv_depth.dtype)
                 return f(zero), jax.jacfwd(f)(zero)
 
-            r, J = jax.vmap(one)(cam_a, cam_c, rho, o.aux)
+            r, J = jax.vmap(one)(cam_a, cam_c, rho, obs_p.aux)
 
-        vmask = o.valid[:, None] != 0
+        vmask = obs_p.valid[:, None] != 0
         r = jnp.where(vmask, r, 0.0)
         J = jnp.where(vmask[:, :, None], J, 0.0)
         r2 = jnp.sum(r * r, axis=-1)
-        w = ba._robust_weights(r2, cfg.huber_delta) * o.valid
+        w = ba._robust_weights(r2, cfg.huber_delta) * obs_p.valid
         cost = ba._robust_cost(r2, cfg.huber_delta)
         sw = jnp.sqrt(w)
-        Js = jnp.concatenate([J, r[:, :, None]], axis=-1) * sw[:, None, None]
-        return cost, Js  # Js: (O, R, 2C+2)
+        Jsw = J * sw[:, None, None]        # (O+1, R, 2C+1), zero last row
+        rsw = r * sw[:, None]              # (O+1, R)
+        return cost, Jsw, rsw
 
     def build(problem: ba.BAProblem, plan: SchurPlan, cfg: ba.BAConfig):
         """One normal-equation assembly; everything lambda-independent."""
         K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
         L = problem.inv_depth.shape[0]
-        o = problem.obs
-        O = o.valid.shape[0]
-        D = 2 * C + 2
 
-        cost, Js = _scaled_jacobians(problem, cfg)
-        dtype = Js.dtype
+        cost, Jsw, rsw = _scaled_jacobians(problem, cfg)
+        dtype = Jsw.dtype
 
         # H_cc via camera-pair Gram chunks: the 2C x 2C top-left block of
         # each chunk's Gram matrix holds [Haa Hac; Hca Hcc] for that pair.
-        Jpad = jnp.concatenate([Js, jnp.zeros((1,) + Js.shape[1:], dtype)])
-        rows = Jpad[plan.pg]  # (NCp, Bp, R, D)
+        rows = Jsw[plan.pg]  # (NCp, Bp, R, 2C+1); dummy slots hit zero row O
         rows2 = rows[..., : 2 * C].reshape(rows.shape[0], -1, 2 * C)
         G2 = jnp.einsum("nbi,nbj->nij", rows2, rows2)  # (NCp, 2C, 2C)
         blocks = jnp.stack(
@@ -134,77 +213,69 @@ def make_fused_ba_solver(
             .reshape(K, K, C, C)
         )
 
-        # thin couplings: A[o] = Js[o]^T [swJp, swr] -> (O, D, 2)
-        right = Js[:, :, 2 * C :]  # (O, R, 2)
-        A = jnp.einsum("ori,ors->ois", Js, right)
+        # thin couplings: A[o] = Jsw[o]^T [swJp, swr] -> (O+1, 2C+1, 2)
+        right = jnp.stack([Jsw[:, :, 2 * C], rsw], axis=-1)  # (O+1, R, 2)
+        A = jnp.einsum("ori,ors->ois", Jsw, right)
 
         # landmark reductions: anchor-merged Hap, H_pp, g_p in one pass
         pay_l = jnp.concatenate(
             [A[:, :C, 0], A[:, 2 * C : 2 * C + 1, 0], A[:, 2 * C : 2 * C + 1, 1]],
             axis=1,
-        )  # (O, C+2)
-        pay_l = jnp.concatenate([pay_l, jnp.zeros((1, C + 2), dtype)])
+        )  # (O+1, C+2), zero last row
         red_l = _chunk_sum(pay_l, plan.lm, L)
         anchor_v, H_pp, g_p = red_l[:, :C], red_l[:, C], red_l[:, C + 1]
 
-        # g_c
-        pay_gc = jnp.concatenate([A[:, :C, 1], A[:, C : 2 * C, 1]])
-        pay_gc = jnp.concatenate([pay_gc, jnp.zeros((1, C), dtype)])
-        g_c = _chunk_sum(pay_gc, plan.gc, K)
+        # g_c: two chunked segment sums (anchor rows + target rows) — no
+        # (2O, C) concatenate
+        g_c = (
+            _chunk_sum(A[:, :C, 1], plan.gc_a, K)
+            + _chunk_sum(A[:, C : 2 * C, 1], plan.gc_t, K)
+        )
 
-        # Schur correction in camera-pair space
+        # dense per-landmark coupling matrix M (L, K*C): row l is landmark
+        # l's column of H_cp flattened — target couplings lifted into their
+        # camera blocks by a one-hot einsum over the landmark chunks, plus
+        # the anchor coupling as an outer product.  one_hot(K, K) == 0, so
+        # dummy slots and anchorless landmarks vanish.
         lm_mask = problem.lm_valid.astype(dtype)
         inv0 = lm_mask / jnp.maximum(H_pp, cfg.min_inv_depth_hessian)
-        v = jnp.concatenate(
-            [anchor_v, A[:, C : 2 * C, 0], jnp.zeros((1, C), dtype)]
-        )  # (NE+1, C); target couplings Hcp per obs
-        ew = jnp.concatenate([inv0[plan.entry_lm], jnp.zeros((1,), dtype)])
-        w1 = v * ew[:, None]
-        r1 = w1[plan.pr_e1]  # (NCpr, Bpr, C)
-        r2_ = v[plan.pr_e2]
-        Gp = jnp.einsum("nbi,nbj->nij", r1, r2_).reshape(-1, C * C)
-        U = (
-            jnp.zeros((K * K + 1, C * C), dtype)
-            .at[plan.pr_rows]
-            .add(Gp)[: K * K]
-            .reshape(K, K, C, C)
+        vt = A[:, C : 2 * C, 0]  # (O+1, C) target couplings; zero last row
+        rows_t = vt[plan.lm.gidx]                        # (NC, B, C)
+        oh = jax.nn.one_hot(plan.lm_cam, K, dtype=dtype)  # (NC, B, K)
+        part = jnp.einsum("nbk,nbc->nkc", oh, rows_t)     # (NC, K, C)
+        M = (
+            jnp.zeros((L + 1, K * C), dtype)
+            .at[plan.lm.rows]
+            .add(part.reshape(part.shape[0], K * C))[:L]
         )
-        vv, wd = v[:-1], w1[:-1]
-        pay_dg = (wd[:, :, None] * vv[:, None, :]).reshape(-1, C * C)
-        pay_dg = jnp.concatenate([pay_dg, jnp.zeros((1, C * C), dtype)])
-        Dg = _chunk_sum(pay_dg, plan.dg, K * K).reshape(K, K, C, C)
-        S_corr0 = U + jnp.transpose(U, (1, 0, 3, 2)) + Dg
+        oh_a = jax.nn.one_hot(plan.anchor_cam_of_lm, K, dtype=dtype)  # (L, K)
+        M = M + (oh_a[:, :, None] * anchor_v[:, None, :]).reshape(L, K * C)
 
-        # rhs correction sum_l inv0_l g_p_l c_l
-        pay_rc = wd * g_p[plan.entry_lm][:, None]
-        pay_rc = jnp.concatenate([pay_rc, jnp.zeros((1, C), dtype)])
-        rhs_corr0 = _chunk_sum(pay_rc, plan.ec, K)
+        # Schur correction and rhs correction as dense MXU products
+        Mw = M * inv0[:, None]
+        S_corr0 = Mw.T @ M          # (K*C, K*C)
+        rhs_corr0 = Mw.T @ g_p      # (K*C,)
 
-        return cost, (H_cc, S_corr0, rhs_corr0, H_pp, g_c, g_p, v, inv0)
+        H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C, K * C)
+        return cost, (H_cc_mat, S_corr0, rhs_corr0, H_pp, g_c, g_p, M, inv0)
 
     def solve_lam(neq, plan: SchurPlan, lam, free_cam_mask, cfg: ba.BAConfig):
         """Per-lambda dense solve + back-substitution (cheap retry)."""
-        H_cc, S_corr0, rhs_corr0, H_pp, g_c, g_p, v, inv0 = neq
-        K, _, C_, _ = H_cc.shape
-        L = H_pp.shape[0]
+        H_cc_mat, S_corr0, rhs_corr0, H_pp, g_c, g_p, M, inv0 = neq
+        KC = H_cc_mat.shape[0]
+        K = free_cam_mask.shape[0]
+        C_ = KC // K
         dtype = g_c.dtype
-        H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C_, K * C_)
-        S0_mat = jnp.transpose(S_corr0, (0, 2, 1, 3)).reshape(K * C_, K * C_)
         d_cc = jnp.clip(jnp.diagonal(H_cc_mat), 1e-12, 1e32)
-        S = H_cc_mat + jnp.diag(lam * d_cc) - S0_mat / (1.0 + lam)
-        rhs = -(g_c.reshape(-1) - rhs_corr0.reshape(-1) / (1.0 + lam))
+        S = H_cc_mat + jnp.diag(lam * d_cc) - S_corr0 / (1.0 + lam)
+        rhs = -(g_c.reshape(-1) - rhs_corr0 / (1.0 + lam))
         mask = jnp.repeat(free_cam_mask.astype(dtype), C_)
         S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
         cho = jax.scipy.linalg.cho_factor(S, lower=True)
         delta_c = jax.scipy.linalg.cho_solve(cho, rhs * mask) * mask
 
-        dc_mat = delta_c.reshape(K, C_)
-        dot_e = jnp.sum(v[:-1] * dc_mat[plan.entry_cam], axis=-1)  # (NE,)
-        anchor_part = dot_e[:L]
-        pay = jnp.concatenate([dot_e[L:, None], jnp.zeros((1, 1), dtype)])
-        target_part = _chunk_sum(pay, plan.lm, L)[:, 0]
-        delta_p = -(g_p + anchor_part + target_part) * inv0 / (1.0 + lam)
-        return dc_mat, delta_p
+        delta_p = -(g_p + M @ delta_c) * inv0 / (1.0 + lam)
+        return delta_c.reshape(K, C_), delta_p
 
     def apply_step(problem: ba.BAProblem, delta_c, delta_p):
         new_cams = jax.vmap(cam_retract)(problem.cam_states, delta_c)

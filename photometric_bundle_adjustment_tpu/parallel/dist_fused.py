@@ -132,7 +132,6 @@ def prepare(problem: ba.BAProblem, mesh: Mesh) -> ShardedFusedProblem:
         n = max(a.shape[0] for a in arrs)
         return np.stack([_pad_leading(a, n, dummy) for a in arrs])
 
-    NE = L_s + O_s
     stacked = SchurPlan(
         pg=stack_plans(lambda p: p.pg, O_s),
         cc_rows4=stack_plans(lambda p: p.cc_rows4, K * K),
@@ -140,23 +139,16 @@ def prepare(problem: ba.BAProblem, mesh: Mesh) -> ShardedFusedProblem:
             gidx=stack_plans(lambda p: p.lm.gidx, O_s),
             rows=stack_plans(lambda p: p.lm.rows, L_s),
         ),
-        gc=ChunkPlan(
-            gidx=stack_plans(lambda p: p.gc.gidx, 2 * O_s),
-            rows=stack_plans(lambda p: p.gc.rows, K),
+        gc_a=ChunkPlan(
+            gidx=stack_plans(lambda p: p.gc_a.gidx, O_s),
+            rows=stack_plans(lambda p: p.gc_a.rows, K),
         ),
-        pr_e1=stack_plans(lambda p: p.pr_e1, NE),
-        pr_e2=stack_plans(lambda p: p.pr_e2, NE),
-        pr_rows=stack_plans(lambda p: p.pr_rows, K * K),
-        dg=ChunkPlan(
-            gidx=stack_plans(lambda p: p.dg.gidx, NE),
-            rows=stack_plans(lambda p: p.dg.rows, K * K),
+        gc_t=ChunkPlan(
+            gidx=stack_plans(lambda p: p.gc_t.gidx, O_s),
+            rows=stack_plans(lambda p: p.gc_t.rows, K),
         ),
-        ec=ChunkPlan(
-            gidx=stack_plans(lambda p: p.ec.gidx, NE),
-            rows=stack_plans(lambda p: p.ec.rows, K),
-        ),
-        entry_cam=stack_plans(lambda p: p.entry_cam, 0),
-        entry_lm=stack_plans(lambda p: p.entry_lm, 0),
+        lm_cam=stack_plans(lambda p: p.lm_cam, K),
+        anchor_cam_of_lm=stack_plans(lambda p: p.anchor_cam_of_lm, K),
     )
 
     dtype = inv_np.dtype
@@ -274,11 +266,11 @@ def make_distributed_fused_solver(
 
             def build_psum(p):
                 cost, neq = solver.build(p, plan, cfg)
-                H_cc, S0, rhs0, H_pp, g_c, g_p, v, inv0 = neq
+                H_cc, S0, rhs0, H_pp, g_c, g_p, M, inv0 = neq
                 cost, H_cc, S0, rhs0, g_c = jax.lax.psum(
                     (cost, H_cc, S0, rhs0, g_c), DATA_AXIS
                 )
-                return cost, (H_cc, S0, rhs0, H_pp, g_c, g_p, v, inv0)
+                return cost, (H_cc, S0, rhs0, H_pp, g_c, g_p, M, inv0)
 
             with jax.default_matmul_precision("float32"):
                 init_cost = cost_fn(prob)

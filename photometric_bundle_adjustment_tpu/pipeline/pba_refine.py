@@ -152,19 +152,11 @@ def refine_photometric(
         prob_l = prob_l._replace(
             obs=prob_l.obs._replace(aux=aux._replace(ref_patch=patch))
         )
-        try:
-            from photometric_bundle_adjustment_tpu.optim import fused
+        from photometric_bundle_adjustment_tpu.optim import fused
 
-            plan = fused.plan_for_problem(
-                prob_l,
-                max_entry_pairs=max(64 * int(prob_l.obs.valid.shape[0]),
-                                    1 << 20),
-            )
-            solve = pba.make_fused_solver(model, flat_l, H_l, W_l)
-            solved_l, res = solve(prob_l, plan, cfg)
-        except ValueError:
-            solve = pba.make_solver(model, flat_l, H_l, W_l)
-            solved_l, res = solve(prob_l, cfg)
+        plan = fused.plan_for_problem(prob_l)
+        solve = pba.make_fused_solver(model, flat_l, H_l, W_l)
+        solved_l, res = solve(prob_l, plan, cfg)
         if level == 0:
             solved = solved_l
         # carry optimised state (poses/affine/depths) to the finer level

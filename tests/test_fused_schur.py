@@ -54,31 +54,33 @@ def test_fused_step_matches_scatter_path(pad_obs, pad_lm):
     cfg = ba.BAConfig(max_iterations=1, huber_delta=1.0)
     res_fn = geometric_ba.make_residual_fn("pinhole")
     _, build_neq = ba.make_ba_step(res_fn, geometric_ba.cam_retract, 6)
-    plan = fused.plan_for_problem(problem)
+    plan = fused.plan_for_problem(problem, host=False)
     solver = fused.make_fused_ba_solver(res_fn, geometric_ba.cam_retract, 6)
 
     cost_r, H_cc, H_cp, H_pp, g_c, g_p = jax.jit(
         lambda p: build_neq(p, cfg)
     )(problem)
     cost_f, neq = jax.jit(lambda p: solver.build(p, plan, cfg))(problem)
-    H_cc_f, S_corr0, rhs_corr0, H_pp_f, g_c_f, g_p_f, v, inv0 = neq
+    H_cc_f, S_corr0, rhs_corr0, H_pp_f, g_c_f, g_p_f, M, inv0 = neq
 
+    K = H_cc.shape[0]
+    L = H_pp.shape[0]
+    H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * 6, K * 6)
     assert _rel(cost_f, cost_r) < 1e-5
-    assert _rel(H_cc_f, H_cc) < 1e-4
+    assert _rel(H_cc_f, H_cc_mat) < 1e-4
     assert _rel(H_pp_f, H_pp) < 1e-4
     assert _rel(g_c_f, g_c) < 1e-4
     assert _rel(g_p_f, g_p) < 1e-4
 
-    # Schur correction against the dense H_cp formulation
-    K = H_cc.shape[0]
-    L = H_pp.shape[0]
+    # M rows == landmark columns of H_cp; Schur correction against the
+    # dense H_cp formulation
     H_cp_mat = jnp.transpose(H_cp, (0, 2, 1)).reshape(K * 6, L)
+    assert _rel(M.T, H_cp_mat) < 1e-4
     inv0_r = problem.lm_valid / jnp.maximum(H_pp, cfg.min_inv_depth_hessian)
     S_dense = (H_cp_mat * inv0_r[None, :]) @ H_cp_mat.T
-    S0_mat = jnp.transpose(S_corr0, (0, 2, 1, 3)).reshape(K * 6, K * 6)
-    assert _rel(S0_mat, S_dense) < 1e-3
+    assert _rel(S_corr0, S_dense) < 1e-3
     rhs_dense = (H_cp_mat * inv0_r[None, :]) @ g_p
-    assert _rel(rhs_corr0.reshape(-1), rhs_dense) < 1e-3
+    assert _rel(rhs_corr0, rhs_dense) < 1e-3
 
     # per-lambda solve matches schur_solve
     lam = jnp.asarray(0.02, jnp.float32)
@@ -93,11 +95,12 @@ def test_fused_step_matches_scatter_path(pad_obs, pad_lm):
     assert _rel(dp_f, dp_r) < 5e-3
 
 
-def test_fused_full_solve_converges_like_scatter_path():
+@pytest.mark.parametrize("host", [False, True])
+def test_fused_full_solve_converges_like_scatter_path(host):
     problem = _problem(K=10, L=48, obs_per=5)
     cfg = ba.BAConfig(max_iterations=15, huber_delta=1.0)
     res_fn = geometric_ba.make_residual_fn("pinhole")
-    plan = fused.plan_for_problem(problem)
+    plan = fused.plan_for_problem(problem, host=host)
     fsolve = fused.make_fused_ba_solver(res_fn, geometric_ba.cam_retract, 6)
     ssolve = ba.make_ba_solver(res_fn, geometric_ba.cam_retract, 6)
 
@@ -108,7 +111,8 @@ def test_fused_full_solve_converges_like_scatter_path():
     assert abs(float(rf.cost) - float(rs.cost)) <= 0.05 * float(rs.cost) + 1e-6
 
 
-def test_fused_solver_photometric_model():
+@pytest.mark.parametrize("host", [False, True])
+def test_fused_solver_photometric_model(host):
     from photometric_bundle_adjustment_tpu.models import photometric_ba as pba
 
     problem, images_flat, H, W, _, _ = synthetic.synth_pba_problem(
@@ -116,32 +120,54 @@ def test_fused_solver_photometric_model():
     )
     cfg = ba.BAConfig(max_iterations=5, huber_delta=9.0)
     res_fn = pba.make_residual_fn("pinhole", images_flat, H, W)
-    plan = fused.plan_for_problem(problem)
+    plan = fused.plan_for_problem(problem, host=host)
     fsolve = fused.make_fused_ba_solver(res_fn, pba.cam_retract, 8)
     pf, rf = fsolve(problem, plan, cfg)
     assert np.isfinite(float(rf.cost))
     assert float(rf.cost) <= float(rf.initial_cost)
 
 
-def test_plan_guard_on_pathological_covisibility():
-    # one landmark observed by 60 cameras -> quadratic pair expansion
+def test_plan_heavy_covisibility_is_linear():
+    # one landmark observed by 60 cameras: the one-hot lifting plan stays
+    # linear in the observation count (no quadratic pair expansion)
     an = np.zeros(60, np.int64)
     tn = np.arange(1, 61)
     ln = np.zeros(60, np.int64)
-    with pytest.raises(ValueError):
-        fused.build_schur_plan(an, tn, ln, K=64, L=1, max_entry_pairs=100)
+    plan = fused.build_schur_plan(an, tn, ln, K=64, L=1)
+    assert int((plan.lm_cam < 64).sum()) == 60
+    assert int(plan.anchor_cam_of_lm[0]) == 0
 
 
 def test_plan_excludes_invalid_observations():
-    # padding obs all alias landmark 0: without the valid mask this would
-    # produce a quadratic pair expansion over the padding
+    # padding obs all alias landmark 0: the valid mask must keep them out
+    # of the camera-lifting tables
     an = np.r_[np.zeros(4, np.int64), np.zeros(500, np.int64)]
     tn = np.r_[np.arange(1, 5), np.zeros(500, np.int64)]
     ln = np.r_[np.zeros(4, np.int64), np.zeros(500, np.int64)]
     valid = np.r_[np.ones(4, bool), np.zeros(500, bool)]
-    plan = fused.build_schur_plan(
-        an, tn, ln, K=8, L=1, valid=valid, max_entry_pairs=200
-    )
-    # only the 4 valid obs (plus the anchor entry) expand into pairs
-    n_real_pairs = int((plan.pr_e1 < 505).sum())
-    assert n_real_pairs == 5 * 4 // 2
+    plan = fused.build_schur_plan(an, tn, ln, K=8, L=1, valid=valid)
+    # only the 4 valid obs appear in the lifting table (dummy slots == K)
+    assert int((plan.lm_cam < 8).sum()) == 4
+    assert int(plan.anchor_cam_of_lm[0]) == 0
+
+
+def test_host_and_dense_formulations_agree():
+    problem = _problem(K=12, L=96, obs_per=5)
+    cfg = ba.BAConfig(max_iterations=1, huber_delta=1.0)
+    res_fn = geometric_ba.make_residual_fn("pinhole")
+    solver = fused.make_fused_ba_solver(res_fn, geometric_ba.cam_retract, 6)
+    lam = jnp.asarray(0.02, jnp.float32)
+    free = ~problem.fixed_cams
+    outs = []
+    for host in (False, True):
+        plan = fused.plan_for_problem(problem, host=host)
+        cost, neq = jax.jit(
+            lambda p, plan=plan: solver.build(p, plan, cfg)
+        )(problem)
+        dc, dp = jax.jit(
+            lambda n, plan=plan: solver.solve_lam(n, plan, lam, free, cfg)
+        )(neq)
+        outs.append((cost, dc, dp))
+    assert _rel(outs[0][0], outs[1][0]) < 1e-6
+    assert _rel(outs[0][1], outs[1][1]) < 1e-4
+    assert _rel(outs[0][2], outs[1][2]) < 1e-4
