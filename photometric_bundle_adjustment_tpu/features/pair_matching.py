@@ -105,6 +105,102 @@ def make_ransac_chunk(
     return jax.jit(chunk)
 
 
+def ring_match_all_pairs(
+    desc: jax.Array,     # (I, F, 8) uint32, I divisible by mesh size
+    valid: jax.Array,    # (I, F) bool
+    mesh: Mesh,
+    *,
+    max_matches: int,
+    threshold: int = 70,
+    ratio: float = 1.2,
+):
+    """All-pairs descriptor matching with ring-passed descriptor blocks.
+
+    The memory-scaling formulation of the reference's all-pairs stage
+    (sfm.cpp:1284-1319): descriptors are SHARDED over images (each device
+    holds I/D of them — nothing is replicated), and a traveling copy of
+    each block rotates around the ring via ``ppermute``; at step s device d
+    matches its resident block against the block that started on device
+    (d - s) mod D.  After D steps every (resident, traveling) image pair
+    has been matched on exactly one device — structurally identical to
+    ring attention over the image axis (SURVEY §5: the "long axis" of this
+    workload), with per-step ICI traffic of one descriptor block instead
+    of an all-gather of all of them.
+
+    Returns (pairs (I, I, MM, 2) int32, pvalid (I, I, MM) bool,
+    count (I, I) int32), sharded over the first (resident-image) axis;
+    row a, column b holds matchDescriptors(a, b) semantics including the
+    mutual cross-check (keypoints.h:259-278).  The diagonal is the
+    self-match and should be ignored by callers.
+    """
+    from jax import shard_map
+
+    I, F, Wn = desc.shape
+    D = mesh.shape[DATA_AXIS]
+    if I % D != 0:
+        raise ValueError(f"image count {I} not divisible by mesh size {D}")
+    B = I // D
+    MM = max_matches
+
+    def shard_fn(desc_l, valid_l):
+        d = jax.lax.axis_index(DATA_AXIS)
+
+        def match_block(trav_desc, trav_valid):
+            def one(da, va):
+                def two(db, vb):
+                    m12 = match.match_descriptors(
+                        da, db, va, vb, threshold, ratio
+                    )
+                    p, v, c = match.matches_to_pairs(m12, MM)
+                    return p, v, jnp.asarray(c, jnp.int32)
+
+                return jax.vmap(two)(trav_desc, trav_valid)
+
+            return jax.vmap(one)(desc_l, valid_l)
+
+        perm = [(i, (i + 1) % D) for i in range(D)]
+
+        def step(s, carry):
+            trav_desc, trav_valid, pairs, pvalid, count = carry
+            src = jax.lax.rem(
+                d - jnp.asarray(s, jnp.int32) + jnp.int32(D), jnp.int32(D)
+            )
+            p, v, c = match_block(trav_desc, trav_valid)
+            z = jnp.int32(0)
+            col = src * jnp.int32(B)
+            pairs = jax.lax.dynamic_update_slice(pairs, p, (z, col, z, z))
+            pvalid = jax.lax.dynamic_update_slice(pvalid, v, (z, col, z))
+            count = jax.lax.dynamic_update_slice(count, c, (z, col))
+            trav_desc = jax.lax.ppermute(trav_desc, DATA_AXIS, perm)
+            trav_valid = jax.lax.ppermute(trav_valid, DATA_AXIS, perm)
+            return trav_desc, trav_valid, pairs, pvalid, count
+
+        def vary(x):  # mark the zero-filled accumulators device-varying
+            return jax.lax.pcast(x, (DATA_AXIS,), to="varying")
+
+        carry = (
+            desc_l,
+            valid_l,
+            vary(jnp.zeros((B, I, MM, 2), jnp.int32)),
+            vary(jnp.zeros((B, I, MM), bool)),
+            vary(jnp.zeros((B, I), jnp.int32)),
+        )
+        carry = jax.lax.fori_loop(0, D, step, carry)
+        return carry[2], carry[3], carry[4]
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(
+            P(DATA_AXIS, None, None, None),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None),
+        ),
+    )
+    return jax.jit(fn)(desc, valid)
+
+
 def compact_matches_np(m12_all, max_matches: int):
     """Vectorised numpy analog of match.matches_to_pairs over a (P, F)
     match table: returns (pairs (P, MM, 2) int32, pvalid (P, MM) bool,

@@ -49,3 +49,44 @@ def test_sharded_matching_matches_local():
     # the matcher actually found the planted correspondences
     counts = np.asarray(out_a[2])
     assert counts.min() >= 50  # nearly all F=128 features should match
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+def test_ring_match_all_pairs_matches_direct():
+    from photometric_bundle_adjustment_tpu.features import match
+
+    desc, valid, _ = synth_features(I=8, F=96, seed=3)
+    mesh = mesh_mod.make_mesh(8)
+    pairs, pvalid, count = pair_matching.ring_match_all_pairs(
+        desc, valid, mesh, max_matches=48, threshold=70, ratio=1.2
+    )
+    I = desc.shape[0]
+    assert pairs.shape == (I, I, 48, 2)
+    for a in range(I):
+        for b in range(I):
+            if a == b:
+                continue
+            m12 = match.match_descriptors(
+                desc[a], desc[b], valid[a], valid[b], 70, 1.2
+            )
+            p_ref, v_ref, c_ref = match.matches_to_pairs(m12, 48)
+            np.testing.assert_array_equal(
+                np.asarray(pairs[a, b]), np.asarray(p_ref)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(pvalid[a, b]), np.asarray(v_ref)
+            )
+            assert int(count[a, b]) == int(c_ref)
+    # planted correspondences are found across the ring
+    off_diag = np.asarray(count)[~np.eye(I, dtype=bool)]
+    assert off_diag.min() >= 40
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+def test_ring_match_rejects_indivisible_image_count():
+    desc, valid, _ = synth_features(I=6, F=32, seed=1)
+    mesh = mesh_mod.make_mesh(8)
+    with pytest.raises(ValueError):
+        pair_matching.ring_match_all_pairs(
+            desc, valid, mesh, max_matches=16
+        )
