@@ -47,8 +47,13 @@ def build_step(dtype, use_manual_jac: bool, host_plan: bool = False):
         rj_fn=rj,
     )
     # fixed observation graph -> tight (non-pow2) plan bucketing: the
-    # benchmark compiles once, so recompile-bounded padding buys nothing
-    plan = fused.plan_for_problem(problem, host=host_plan, pow2_buckets=False)
+    # benchmark compiles once, so recompile-bounded padding buys nothing.
+    # On accelerators the landmark-dense layout replaces every landmark-axis
+    # gather/scatter with a reshape + dense sum.
+    if host_plan:
+        plan = fused.plan_for_problem(problem, host=True, pow2_buckets=False)
+    else:
+        problem, plan = fused.densify_problem(problem, pow2_buckets=False)
 
     def lm_step(problem):
         with jax.default_matmul_precision("float32"):

@@ -314,31 +314,31 @@ def make_ba_solver(
             prob, lam, cost, it, done = state
             _, H_cc, H_cp, H_pp, g_c, g_p = normal_eq_fn(prob, cfg)
 
-            def try_step(lam_try):
-                dc, dp = schur_solve(
-                    H_cc, H_cp, H_pp, g_c, g_p, lam_try, free, prob.lm_valid, cfg
-                )
-                p_try = apply_step(prob, dc, dp)
-                return p_try, cost_fn(p_try, cfg)
-
             def inner_cond(s):
-                lam_i, ok, _, tries = s
+                lam_i, ok, _, tries, _, _ = s
                 return (~ok) & (tries < cfg.max_retries) & (lam_i <= cfg.max_lambda)
 
             def inner_body(s):
-                lam_i, _, _, tries = s
-                _, new_cost = try_step(lam_i)
+                lam_i, _, _, tries, _, _ = s
+                dc, dp = schur_solve(
+                    H_cc, H_cp, H_pp, g_c, g_p, lam_i, free, prob.lm_valid, cfg
+                )
+                new_cost = cost_fn(apply_step(prob, dc, dp), cfg)
                 ok = (new_cost < cost) & jnp.isfinite(new_cost)
-                return (jnp.where(ok, lam_i, lam_i * 10.0), ok, new_cost, tries + 1)
+                return (jnp.where(ok, lam_i, lam_i * 10.0), ok, new_cost,
+                        tries + 1, dc, dp)
 
-            lam_f, accepted, new_cost, _ = jax.lax.while_loop(
-                inner_cond, inner_body, (lam, False, cost, 0)
+            dc0 = jnp.zeros((free.shape[0], C), dtype)
+            dp0 = jnp.zeros_like(prob.inv_depth)
+            # the accepting step's deltas ride the carry — no recompute
+            lam_f, accepted, new_cost, _, dc_f, dp_f = jax.lax.while_loop(
+                inner_cond, inner_body, (lam, False, cost, 0, dc0, dp0)
             )
-            p_acc, acc_cost = try_step(lam_f)
+            p_acc = apply_step(prob, dc_f, dp_f)
             p_new = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(accepted, a, b), p_acc, prob
             )
-            cost_new = jnp.where(accepted, acc_cost, cost)
+            cost_new = jnp.where(accepted, new_cost, cost)
             lam_new = jnp.where(
                 accepted, jnp.maximum(lam_f / 3.0, cfg.min_lambda), lam_f
             )

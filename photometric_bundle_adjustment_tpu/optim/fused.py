@@ -39,7 +39,9 @@ import jax.numpy as jnp
 from photometric_bundle_adjustment_tpu.optim import ba
 from photometric_bundle_adjustment_tpu.optim.schur_plan import (  # noqa: F401
     ChunkPlan,
+    DenseLmSchurPlan,
     SchurPlan,
+    build_dense_lm_plan,
     build_schur_plan,
 )
 
@@ -72,6 +74,52 @@ def plan_for_problem(problem: ba.BAProblem, host: bool | None = None,
         valid=np.asarray(problem.obs.valid) != 0,
         **kwargs,
     )
+
+
+def densify_problem(problem: ba.BAProblem, **kwargs):
+    """Host-side reorder of a BAProblem into the landmark-dense layout.
+
+    Returns ``(problem2, DenseLmSchurPlan)``: observation row ``l*S + s``
+    of ``problem2`` is the s-th observation of landmark l (padding slots
+    valid=0), which turns every landmark-axis reduction of the fused
+    build into a reshape + dense sum (see DenseLmSchurPlan).  Camera and
+    landmark *states* are untouched, so the solved problem2's
+    ``cam_states`` / ``inv_depth`` are directly those of the original
+    problem; only the observation ordering differs.
+    """
+    import numpy as np
+
+    o = problem.obs
+    K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
+    L = problem.inv_depth.shape[0]
+    an = np.asarray(o.anchor_cam)
+    tn = np.asarray(o.target_cam)
+    ln = np.asarray(o.landmark)
+    valid = np.asarray(o.valid)
+    perm, plan = build_dense_lm_plan(
+        an, tn, ln, K, L, valid=valid != 0, **kwargs
+    )
+    take = np.where(perm >= 0, perm, 0)
+    filled = perm >= 0
+    S = plan.lm_cam.shape[1]
+
+    def reorder(x):
+        return jnp.asarray(np.asarray(x)[take])
+
+    obs2 = ba.BAObservations(
+        anchor_cam=jnp.asarray(
+            np.where(filled, an[take], 0).astype(np.int32)
+        ),
+        target_cam=jnp.asarray(
+            np.where(filled, tn[take], 0).astype(np.int32)
+        ),
+        landmark=jnp.asarray(
+            np.repeat(np.arange(L), S).astype(np.int32)
+        ),
+        aux=jax.tree_util.tree_map(reorder, o.aux),
+        valid=jnp.asarray(np.where(filled, valid[take], 0).astype(valid.dtype)),
+    )
+    return problem._replace(obs=obs2), plan
 
 
 def _chunk_sum(payload, plan: ChunkPlan, n_rows: int):
@@ -217,13 +265,24 @@ def _make_dense_fused_ba_solver(
         right = jnp.stack([Jsw[:, :, 2 * C], rsw], axis=-1)  # (O+1, R, 2)
         A = jnp.einsum("ori,ors->ois", Jsw, right)
 
-        # landmark reductions: anchor-merged Hap, H_pp, g_p in one pass
-        pay_l = jnp.concatenate(
-            [A[:, :C, 0], A[:, 2 * C : 2 * C + 1, 0], A[:, 2 * C : 2 * C + 1, 1]],
-            axis=1,
-        )  # (O+1, C+2), zero last row
-        red_l = _chunk_sum(pay_l, plan.lm, L)
-        anchor_v, H_pp, g_p = red_l[:, :C], red_l[:, C], red_l[:, C + 1]
+        dense_lm = isinstance(plan, DenseLmSchurPlan)
+        if dense_lm:
+            # landmark-dense layout: reductions over the slot axis are
+            # reshapes + dense sums — no gathers, no scatters
+            S_ = plan.lm_cam.shape[1]
+            A_l = A[: L * S_].reshape(L, S_, 2 * C + 1, 2)
+            anchor_v = A_l[:, :, :C, 0].sum(1)
+            H_pp = A_l[:, :, 2 * C, 0].sum(1)
+            g_p = A_l[:, :, 2 * C, 1].sum(1)
+        else:
+            # landmark reductions: anchor-merged Hap, H_pp, g_p in one pass
+            pay_l = jnp.concatenate(
+                [A[:, :C, 0], A[:, 2 * C : 2 * C + 1, 0],
+                 A[:, 2 * C : 2 * C + 1, 1]],
+                axis=1,
+            )  # (O+1, C+2), zero last row
+            red_l = _chunk_sum(pay_l, plan.lm, L)
+            anchor_v, H_pp, g_p = red_l[:, :C], red_l[:, C], red_l[:, C + 1]
 
         # g_c: two chunked segment sums (anchor rows + target rows) — no
         # (2O, C) concatenate
@@ -239,15 +298,19 @@ def _make_dense_fused_ba_solver(
         # dummy slots and anchorless landmarks vanish.
         lm_mask = problem.lm_valid.astype(dtype)
         inv0 = lm_mask / jnp.maximum(H_pp, cfg.min_inv_depth_hessian)
-        vt = A[:, C : 2 * C, 0]  # (O+1, C) target couplings; zero last row
-        rows_t = vt[plan.lm.gidx]                        # (NC, B, C)
-        oh = jax.nn.one_hot(plan.lm_cam, K, dtype=dtype)  # (NC, B, K)
-        part = jnp.einsum("nbk,nbc->nkc", oh, rows_t)     # (NC, K, C)
-        M = (
-            jnp.zeros((L + 1, K * C), dtype)
-            .at[plan.lm.rows]
-            .add(part.reshape(part.shape[0], K * C))[:L]
-        )
+        oh = jax.nn.one_hot(plan.lm_cam, K, dtype=dtype)
+        if dense_lm:
+            vt_d = A_l[:, :, C : 2 * C, 0]                 # (L, S, C)
+            M = jnp.einsum("lsk,lsc->lkc", oh, vt_d).reshape(L, K * C)
+        else:
+            vt = A[:, C : 2 * C, 0]  # (O+1, C) target couplings; zero last
+            rows_t = vt[plan.lm.gidx]                      # (NC, B, C)
+            part = jnp.einsum("nbk,nbc->nkc", oh, rows_t)  # (NC, K, C)
+            M = (
+                jnp.zeros((L + 1, K * C), dtype)
+                .at[plan.lm.rows]
+                .add(part.reshape(part.shape[0], K * C))[:L]
+            )
         oh_a = jax.nn.one_hot(plan.anchor_cam_of_lm, K, dtype=dtype)  # (L, K)
         M = M + (oh_a[:, :, None] * anchor_v[:, None, :]).reshape(L, K * C)
 
@@ -295,34 +358,35 @@ def _make_dense_fused_ba_solver(
                 prob, lam, cost, it, done = state
                 _, neq = build(prob, plan, cfg)
 
-                def try_step(lam_try):
-                    dc, dp = solve_lam(neq, plan, lam_try, free, cfg)
-                    p_try = apply_step(prob, dc, dp)
-                    return p_try, res_cost(p_try, cfg)
-
                 def inner_cond(s):
-                    lam_i, ok, _, tries = s
+                    lam_i, ok, _, tries, _, _ = s
                     return (~ok) & (tries < cfg.max_retries) & (
                         lam_i <= cfg.max_lambda
                     )
 
                 def inner_body(s):
-                    lam_i, _, _, tries = s
-                    _, new_cost = try_step(lam_i)
+                    lam_i, _, _, tries, _, _ = s
+                    dc, dp = solve_lam(neq, plan, lam_i, free, cfg)
+                    p_try = apply_step(prob, dc, dp)
+                    new_cost = res_cost(p_try, cfg)
                     ok = (new_cost < cost) & jnp.isfinite(new_cost)
                     return (
                         jnp.where(ok, lam_i, lam_i * 10.0), ok, new_cost,
-                        tries + 1,
+                        tries + 1, dc, dp,
                     )
 
-                lam_f, accepted, new_cost, _ = jax.lax.while_loop(
-                    inner_cond, inner_body, (lam, False, cost, 0)
+                K_ = free.shape[0]
+                dc0 = jnp.zeros((K_, C), prob.inv_depth.dtype)
+                dp0 = jnp.zeros_like(prob.inv_depth)
+                # the accepting step's deltas ride the carry — no recompute
+                lam_f, accepted, new_cost, _, dc_f, dp_f = jax.lax.while_loop(
+                    inner_cond, inner_body, (lam, False, cost, 0, dc0, dp0)
                 )
-                p_acc, acc_cost = try_step(lam_f)
+                p_acc = apply_step(prob, dc_f, dp_f)
                 p_new = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(accepted, a, b), p_acc, prob
                 )
-                cost_new = jnp.where(accepted, acc_cost, cost)
+                cost_new = jnp.where(accepted, new_cost, cost)
                 lam_new = jnp.where(
                     accepted, jnp.maximum(lam_f / 3.0, cfg.min_lambda), lam_f
                 )

@@ -71,6 +71,29 @@ class SchurPlan(NamedTuple):
     #                               K for landmarks with no valid obs
 
 
+class DenseLmSchurPlan(NamedTuple):
+    """Assembly plan for the landmark-dense observation layout.
+
+    The problem's observation rows are host-reordered into (L, S) slots —
+    row ``l*S + s`` is the s-th observation of landmark l (padding slots
+    have valid=0) — so every landmark-axis reduction in the fused solver
+    (anchor couplings, H_pp, g_p, and the rows of the dense Schur matrix M)
+    becomes a RESHAPE + dense sum / batched matmul instead of a
+    gather+scatter chunked segment sum.  The trade: padded rows add
+    residual/Jacobian work (bounded by the slot bucketing), but remove the
+    lane-hostile landmark gathers from the hot loop entirely.  Camera-pair
+    (H_cc) and per-camera (g_c) reductions keep their chunk plans, built
+    over the reordered rows.
+    """
+
+    pg: np.ndarray        # (NCp, Bp) int32 into padded obs rows [0, L*S]
+    cc_rows4: np.ndarray  # (NCp, 4) int32 rows into (K*K [+1 dropped], .)
+    gc_a: ChunkPlan       # padded obs rows -> K
+    gc_t: ChunkPlan       # padded obs rows -> K
+    lm_cam: np.ndarray    # (L, S) int32 target cam per slot; K for padding
+    anchor_cam_of_lm: np.ndarray  # (L,) int32; K for landmarks with no obs
+
+
 def _round_up(n: int, minimum: int, pow2: bool = True) -> int:
     """Round a chunk count up to a bucketed static shape.
 
@@ -217,3 +240,96 @@ def build_schur_plan(
         lm_cam=lm_cam.astype(np.int32),
         anchor_cam_of_lm=anchor_cam_of_lm.astype(np.int32),
     )
+
+
+def build_dense_lm_plan(
+    anchor_cam,
+    target_cam,
+    landmark,
+    K: int,
+    L: int,
+    valid=None,
+    *,
+    pair_chunk: int = 32,
+    cam_chunk: int = 256,
+    nc_bucket: int = 64,
+    pow2_buckets: bool = True,
+    slot_bucket: int = 2,
+):
+    """Landmark-dense layout: returns ``(perm, plan)``.
+
+    ``perm`` is an (L*S,) int64 map from padded rows to original
+    observation rows (-1 for padding slots); the caller reorders the
+    problem's observation arrays with it (see ``fused.densify_problem``).
+    S is the max valid-observation count of any landmark, rounded up to a
+    multiple of ``slot_bucket`` (pow2-bucketed if ``pow2_buckets`` so that
+    growing problems reuse compiled code).
+    """
+    an = np.asarray(anchor_cam, np.int64)
+    tn = np.asarray(target_cam, np.int64)
+    ln = np.asarray(landmark, np.int64)
+    O = an.shape[0]
+    vmask = np.ones(O, bool) if valid is None else np.asarray(valid).astype(bool)
+    vidx = np.flatnonzero(vmask)
+
+    counts = np.bincount(ln[vidx], minlength=L)
+    S = _round_up(max(int(counts.max()) if vidx.size else 1, 1),
+                  slot_bucket, pow2_buckets)
+
+    # slot assignment: stable order within each landmark
+    order = np.argsort(ln[vidx], kind="stable")
+    ov = vidx[order]
+    lv = ln[vidx][order]
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
+    slot = np.arange(ov.size) - starts[lv]
+    perm = np.full(L * S, -1, np.int64)
+    perm[lv * S + slot] = ov
+
+    Opad = L * S
+    filled = perm >= 0
+    rows = np.flatnonzero(filled)
+    an_d = an[np.where(filled, perm, 0)]
+    tn_d = tn[np.where(filled, perm, 0)]
+
+    # camera-pair Gram chunks over the padded rows
+    pair_ids = an_d[rows] * K + tn_d[rows]
+    gidx, prows = _chunk_segments(pair_ids, pair_chunk)
+    gidx = np.where(gidx >= 0, rows[np.clip(gidx, 0, None)], Opad)
+    NCp = gidx.shape[0]
+    NCpb = _round_up(NCp, nc_bucket, pow2_buckets)
+    pg = np.full((NCpb, pair_chunk), Opad, np.int64)
+    pg[:NCp] = gidx
+    pa, pc = prows // K, prows % K
+    rows4 = np.stack([pa * K + pa, pa * K + pc, pc * K + pa, pc * K + pc], 1)
+    cc_rows4 = np.full((NCpb, 4), K * K, np.int64)
+    cc_rows4[:NCp] = rows4
+
+    # per-camera chunks for g_c over the padded rows
+    def cam_chunk_plan(cam_ids):
+        g3, r3 = _chunk_segments(cam_ids, cam_chunk)
+        g3 = np.where(g3 >= 0, rows[np.clip(g3, 0, None)], Opad)
+        NC3 = g3.shape[0]
+        NC3b = _round_up(NC3, nc_bucket, pow2_buckets)
+        gg = np.full((NC3b, cam_chunk), Opad, np.int64)
+        gg[:NC3] = g3
+        gr = np.full(NC3b, K, np.int64)
+        gr[:NC3] = r3
+        return ChunkPlan(gg.astype(np.int32), gr.astype(np.int32))
+
+    gc_a_plan = cam_chunk_plan(an_d[rows])
+    gc_t_plan = cam_chunk_plan(tn_d[rows])
+
+    lm_cam = np.where(filled, tn_d, K).reshape(L, S)
+    anchor_cam_of_lm = np.full(L, K, np.int64)
+    has = counts > 0
+    anchor_cam_of_lm[has] = an_d.reshape(L, S)[has, 0]
+
+    plan = DenseLmSchurPlan(
+        pg=pg.astype(np.int32),
+        cc_rows4=cc_rows4.astype(np.int32),
+        gc_a=gc_a_plan,
+        gc_t=gc_t_plan,
+        lm_cam=lm_cam.astype(np.int32),
+        anchor_cam_of_lm=anchor_cam_of_lm.astype(np.int32),
+    )
+    return perm, plan

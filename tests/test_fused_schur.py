@@ -171,3 +171,45 @@ def test_host_and_dense_formulations_agree():
     assert _rel(outs[0][0], outs[1][0]) < 1e-6
     assert _rel(outs[0][1], outs[1][1]) < 1e-4
     assert _rel(outs[0][2], outs[1][2]) < 1e-4
+
+
+def test_dense_lm_layout_agrees_with_chunk_plan():
+    """densify_problem + DenseLmSchurPlan == chunk-plan build (ragged obs)."""
+    problem = _problem(K=12, L=96, obs_per=5)
+    # ragged observation counts: drop a random 30%
+    rng = np.random.default_rng(1)
+    v = np.asarray(problem.obs.valid).copy()
+    v[rng.random(v.shape[0]) < 0.3] = 0
+    problem = problem._replace(obs=problem.obs._replace(valid=jnp.asarray(v)))
+
+    cfg = ba.BAConfig(max_iterations=1, huber_delta=1.0)
+    res_fn = geometric_ba.make_residual_fn("pinhole")
+    solver = fused.make_fused_ba_solver(res_fn, geometric_ba.cam_retract, 6)
+    lam = jnp.asarray(0.02, jnp.float32)
+    free = ~problem.fixed_cams
+
+    plan_c = fused.plan_for_problem(problem, host=False)
+    prob_d, plan_d = fused.densify_problem(problem)
+    assert isinstance(plan_d, fused.DenseLmSchurPlan)
+
+    cost_c, neq_c = jax.jit(
+        lambda p: solver.build(p, plan_c, cfg)
+    )(problem)
+    cost_d, neq_d = jax.jit(
+        lambda p: solver.build(p, plan_d, cfg)
+    )(prob_d)
+    assert _rel(cost_c, cost_d) < 1e-6
+    dc_c, dp_c = jax.jit(
+        lambda n: solver.solve_lam(n, plan_c, lam, free, cfg)
+    )(neq_c)
+    dc_d, dp_d = jax.jit(
+        lambda n: solver.solve_lam(n, plan_d, lam, free, cfg)
+    )(neq_d)
+    assert _rel(dc_c, dc_d) < 1e-4
+    assert _rel(dp_c, dp_d) < 1e-4
+
+    # full solve through the dispatching entry point converges identically
+    p1, r1 = solver(problem, plan_c, ba.BAConfig(max_iterations=5))
+    p2, r2 = solver(prob_d, plan_d, ba.BAConfig(max_iterations=5))
+    assert _rel(r1.cost, r2.cost) < 1e-5
+    assert _rel(p1.cam_states, p2.cam_states) < 1e-4
