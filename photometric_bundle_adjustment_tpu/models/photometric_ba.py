@@ -126,14 +126,105 @@ def bilinear_sample_and_grad(
     return val, gx, gy
 
 
-def make_rj_fn(model: str, images_flat: jax.Array, H: int, W: int):
+# ---------------------------------------------------------------------------
+# tile-based sampling: the TPU-native hot path
+# ---------------------------------------------------------------------------
+#
+# The 8 projected patch pixels of one observation land within a few pixels
+# of each other, so instead of 8 x 4 scalar HBM gathers per observation
+# we can fetch ONE (TILE_H, TILE_W) tile per observation with a sliced
+# gather of contiguous rows and resolve every bilinear tap as a dense
+# two-tap weight contraction on the VPU:
+#
+#     val = wy^T  tile  wx,   gx = wy^T tile dwx,   gy = dwy^T tile wx
+#
+# where wx[c] = (c==x0)(1-fx) + (c==x0+1) fx etc. — exactly the 4-tap
+# bilinear math with the irregular access replaced by dense FLOPs.
+# MEASURED (TPU v5e, EuRoC scale, 24k obs): the scalar-gather path costs
+# 9.4 ms per residual evaluation and the tile path 38.8 ms — XLA lowers a
+# sliced gather per ELEMENT, so the tile fetch moves 4.6M elements where
+# the per-tap path moves the minimal 768k.  Scalar gathers therefore stay
+# the default XLA formulation ("gather"); "tile" is retained as the
+# reference semantics for the Pallas patch-sampling kernel, which stages
+# each target image in VMEM and samples tiles from on-chip memory.
+# Pixels whose warp falls outside the tile (pathological stretch,
+# > ~2.2x patch scale) clamp to the tile edge with zero gradient — the
+# same treatment as out-of-image samples.
+
+TILE_H = 12
+TILE_W = 16
+
+
+def _tile_sample_and_grad(images3d: jax.Array, img_idx: jax.Array,
+                          uv: jax.Array, H: int, W: int):
+    """Tile-gather bilinear sample + gradient for one observation.
+
+    images3d: (Kimg, H, W); img_idx: () int32; uv: (P, 2) points that are
+    mutually within a (TILE_H-3, TILE_W-3) span.  Returns (val, gx, gy),
+    each (P,).
+    """
+    dtype = images3d.dtype
+    x = jnp.clip(uv[..., 0], 0.0, W - 1.001)
+    y = jnp.clip(uv[..., 1], 0.0, H - 1.001)
+    y0b = jnp.clip(
+        jnp.floor(jnp.min(y)).astype(jnp.int32) - 1, 0, H - TILE_H
+    )
+    x0b = jnp.clip(
+        jnp.floor(jnp.min(x)).astype(jnp.int32) - 1, 0, W - TILE_W
+    )
+    tile = jax.lax.dynamic_slice(
+        images3d, (img_idx.astype(jnp.int32), y0b, x0b), (1, TILE_H, TILE_W)
+    )[0]
+
+    # tile-relative coordinates; out-of-tile points clamp to the edge cell
+    rx = jnp.clip(x - x0b.astype(dtype), 0.0, TILE_W - 1.001)
+    ry = jnp.clip(y - y0b.astype(dtype), 0.0, TILE_H - 1.001)
+    fx = rx - jnp.floor(rx)
+    fy = ry - jnp.floor(ry)
+    cx = jnp.floor(rx).astype(jnp.int32)
+    cy = jnp.floor(ry).astype(jnp.int32)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H), 1)
+    is_x0 = (cols == cx[:, None]).astype(dtype)        # (P, TILE_W)
+    is_x1 = (cols == cx[:, None] + 1).astype(dtype)
+    is_y0 = (rows == cy[:, None]).astype(dtype)        # (P, TILE_H)
+    is_y1 = (rows == cy[:, None] + 1).astype(dtype)
+    wx = is_x0 * (1.0 - fx[:, None]) + is_x1 * fx[:, None]
+    wy = is_y0 * (1.0 - fy[:, None]) + is_y1 * fy[:, None]
+    dwx = is_x1 - is_x0
+    dwy = is_y1 - is_y0
+
+    ty = wy @ tile                                     # (P, TILE_W)
+    val = jnp.sum(ty * wx, axis=-1)
+    gx = jnp.sum(ty * dwx, axis=-1)
+    gy = jnp.sum((dwy @ tile) * wx, axis=-1)
+
+    # zero gradient for clamped samples (off-image, or off-tile under a
+    # pathological warp) — no pose-update pressure from invalid pixels
+    in_x = (uv[..., 0] >= 0.0) & (uv[..., 0] <= W - 1.001) & \
+        (x - x0b.astype(dtype) <= TILE_W - 1.001)
+    in_y = (uv[..., 1] >= 0.0) & (uv[..., 1] <= H - 1.001) & \
+        (y - y0b.astype(dtype) <= TILE_H - 1.001)
+    gx = jnp.where(in_x, gx, 0.0)
+    gy = jnp.where(in_y, gy, 0.0)
+    return val, gx, gy
+
+
+def make_rj_fn(model: str, images_flat: jax.Array, H: int, W: int,
+               sampler: str = "gather"):
     """Closed-form residual + Jacobian (R=8, tangent 2*8+1=17).
 
     Pose/depth chain identical to the geometric warp (see
     geometric_ba.make_rj_fn) composed with the projection Jacobian and the
     analytic bilinear image gradient; affine-brightness partials in closed
-    form.  Replaces 17 forward-mode passes through the sampler."""
+    form.  Replaces 17 forward-mode passes through the sampler.
+
+    ``sampler="gather"`` (default) uses per-tap scalar gathers — the
+    fastest XLA formulation (see the note above _tile_sample_and_grad);
+    ``"tile"`` uses the tile + tap-contraction path."""
     offsets = jnp.asarray(PATCH_OFFSETS)
+    images3d = images_flat.reshape(-1, H, W)
 
     def rj(cam_a: PhotometricCams, cam_c: PhotometricCams,
            rho: jax.Array, aux: PhotometricObs):
@@ -154,10 +245,16 @@ def make_rj_fn(model: str, images_flat: jax.Array, H: int, W: int):
 
         uv_t = pi(y)
         Jpi = jax.vmap(jax.jacfwd(pi))(y)                          # (P, 2, 3)
-        I_t, gx, gy = bilinear_sample_and_grad(
-            images_flat, aux.target_img * jnp.ones((PATCH_SIZE,), jnp.int32),
-            uv_t, H, W,
-        )
+        if sampler == "tile":
+            I_t, gx, gy = _tile_sample_and_grad(
+                images3d, aux.target_img, uv_t, H, W
+            )
+        else:
+            I_t, gx, gy = bilinear_sample_and_grad(
+                images_flat,
+                aux.target_img * jnp.ones((PATCH_SIZE,), jnp.int32),
+                uv_t, H, W,
+            )
 
         a_r, b_r = cam_a.affine[0], cam_a.affine[1]
         a_t, b_t = cam_c.affine[0], cam_c.affine[1]
@@ -207,9 +304,11 @@ def make_rj_fn(model: str, images_flat: jax.Array, H: int, W: int):
     return rj
 
 
-def make_residual_fn(model: str, images_flat: jax.Array, H: int, W: int):
+def make_residual_fn(model: str, images_flat: jax.Array, H: int, W: int,
+                     sampler: str = "gather"):
     """Per-observation photometric residual (8,)."""
     offsets = jnp.asarray(PATCH_OFFSETS)
+    images3d = images_flat.reshape(-1, H, W)
 
     def residual(cam_a: PhotometricCams, cam_c: PhotometricCams,
                  rho: jax.Array, aux: PhotometricObs):
@@ -219,9 +318,14 @@ def make_residual_fn(model: str, images_flat: jax.Array, H: int, W: int):
         p_w = se3.act(cam_a.pose, dirs / rho)
         p_c = se3.act(se3.inverse(cam_c.pose), p_w)
         uv_t = cameras.project(model, aux.intr_target, p_c)        # (8, 2)
-        I_t = bilinear_sample_flat(
-            images_flat, aux.target_img, uv_t, H, W
-        )
+        if sampler == "tile":
+            I_t, _, _ = _tile_sample_and_grad(
+                images3d, aux.target_img, uv_t, H, W
+            )
+        else:
+            I_t = bilinear_sample_flat(
+                images_flat, aux.target_img, uv_t, H, W
+            )
         a_r, b_r = cam_a.affine[0], cam_a.affine[1]
         a_t, b_t = cam_c.affine[0], cam_c.affine[1]
         return (I_t - b_t) - jnp.exp(a_t - a_r) * (aux.ref_patch - b_r)

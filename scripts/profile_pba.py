@@ -132,6 +132,7 @@ def main():
     import sys
 
     pieces = "--pieces" in sys.argv
+    sel = [a for a in sys.argv[1:] if not a.startswith("-")]
     enable_compilation_cache()
     print("backend:", jax.default_backend())
     problem, images_flat, H, W = build_euroc_scale_pba()
@@ -159,9 +160,10 @@ def main():
                 cam_states=new_cams, inv_depth=problem.inv_depth + dp
             ), cost
 
-    dt = time_fn(full_iter, problem, iters=20)
-    print(f"full LM iteration: {dt * 1e3:.2f} ms  ({1 / dt:.1f} it/s)",
-          flush=True)
+    if not sel or "full" in sel:
+        dt = time_fn(full_iter, problem, iters=20)
+        print(f"full LM iteration: {dt * 1e3:.2f} ms  ({1 / dt:.1f} it/s)",
+              flush=True)
     if not pieces:
         return
 
@@ -169,8 +171,9 @@ def main():
         with jax.default_matmul_precision("float32"):
             return solver.build(problem, plan, cfg)
 
-    dt_b = time_fn(build_only, problem, iters=20)
-    print(f"  build (R+J+assembly): {dt_b * 1e3:.2f} ms")
+    if not sel or "build" in sel:
+        dt_b = time_fn(build_only, problem, iters=20)
+        print(f"  build (R+J+assembly): {dt_b * 1e3:.2f} ms", flush=True)
 
     with jax.default_matmul_precision("float32"):
         _, neq = jax.jit(build_only)(problem)
@@ -182,8 +185,9 @@ def main():
                 ~problem.fixed_cams, cfg,
             )
 
-    dt_s = time_fn(solve_only, neq, iters=20)
-    print(f"  solve_lam: {dt_s * 1e3:.2f} ms")
+    if not sel or "solve" in sel:
+        dt_s = time_fn(solve_only, neq, iters=20)
+        print(f"  solve_lam: {dt_s * 1e3:.2f} ms", flush=True)
 
     # R+J alone (vmapped rj_fn over padded obs)
     def rj_only(problem):
@@ -197,8 +201,9 @@ def main():
         rho = problem.inv_depth[o.landmark]
         return jax.vmap(rj)(cam_a, cam_c, rho, o.aux)
 
-    dt_rj = time_fn(rj_only, problem, iters=20)
-    print(f"  R+J alone: {dt_rj * 1e3:.2f} ms")
+    if not sel or "rj" in sel:
+        dt_rj = time_fn(rj_only, problem, iters=20)
+        print(f"  R+J alone: {dt_rj * 1e3:.2f} ms", flush=True)
 
     # residual only (the accept/reject cost eval)
     def res_only(problem):
@@ -212,8 +217,9 @@ def main():
         rho = problem.inv_depth[o.landmark]
         return jax.vmap(res)(cam_a, cam_c, rho, o.aux)
 
-    dt_r = time_fn(res_only, problem, iters=20)
-    print(f"  residual alone: {dt_r * 1e3:.2f} ms")
+    if not sel or "res" in sel:
+        dt_r = time_fn(res_only, problem, iters=20)
+        print(f"  residual alone: {dt_r * 1e3:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -226,3 +226,37 @@ def test_pyramid_utilities():
     np.testing.assert_allclose(
         np.asarray(uv1), (np.asarray(uv0) + 0.5) / 2 - 0.5, atol=1e-9
     )
+
+
+def test_tile_sampler_matches_gather_sampler():
+    """The tile-gather + tap-contraction sampler equals the per-tap gather
+    path (same 4-tap bilinear math, different association order)."""
+    import numpy as np
+
+    from photometric_bundle_adjustment_tpu.models import synthetic
+
+    problem, images_flat, H, W, _, _ = synthetic.synth_pba_problem(
+        K=5, L=96, H=64, W=96, pose_noise=0.01, depth_noise=0.05
+    )
+    o = problem.obs
+    cam_a = jax.tree_util.tree_map(
+        lambda x: x[o.anchor_cam], problem.cam_states
+    )
+    cam_c = jax.tree_util.tree_map(
+        lambda x: x[o.target_cam], problem.cam_states
+    )
+    rho = problem.inv_depth[o.landmark]
+    outs = {}
+    for sampler in ("tile", "gather"):
+        rj = pba.make_rj_fn("pinhole", images_flat, H, W, sampler=sampler)
+        res = pba.make_residual_fn(
+            "pinhole", images_flat, H, W, sampler=sampler
+        )
+        r1, J1 = jax.vmap(rj)(cam_a, cam_c, rho, o.aux)
+        r2 = jax.vmap(res)(cam_a, cam_c, rho, o.aux)
+        outs[sampler] = (r1, J1, r2)
+    for a, b in zip(outs["tile"], outs["gather"]):
+        # f32 association order differs; values are grey-levels (~1e2)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+        )
