@@ -64,8 +64,8 @@ def _make_kernel(n_groups: int, want_grads: bool):
         cnt = cnt_ref[g]
 
         Q = 2 * P if want_grads else P
-        rx2_g = rx2_ref[:, pl.ds(base, GROUP)]   # (Q, GROUP) tile-relative
-        ry2_g = ry2_ref[:, pl.ds(base, GROUP)]
+        rx_g = rx2_ref[:, pl.ds(base, GROUP)]   # (Q, GROUP) tile-relative
+        ry_g = ry2_ref[:, pl.ds(base, GROUP)]
 
         # Stacked-tap formulation: rows 0..P-1 of the (Q, .) weight arrays
         # carry the bilinear value taps (1-f, f), rows P..2P-1 the
@@ -74,11 +74,30 @@ def _make_kernel(n_groups: int, want_grads: bool):
         # vanish.  One MXU product TY = WYs . tile gives the y-contraction
         # for value AND y-derivative rows at once; the three lane
         # reductions (val, gx, gy) are stacked into a (3P, TILE_W) product
-        # buffer and collapsed by a second MXU product with a ones vector
-        # — replacing ~48 VPU shuffle ops per observation with one matmul.
+        # buffer and collapsed by a second MXU product with a ones vector.
+        # Everything slab-wide (floors, coefficient stacks) is hoisted out
+        # of the unrolled per-observation bodies — keeps the bodies at
+        # ~30 ops each (the unroll is what makes every slab access a
+        # static lane offset, as Mosaic requires).
+        cx_s = jnp.floor(rx_g)
+        cy_s = jnp.floor(ry_g)
+        fx_s = rx_g - cx_s
+        fy_s = ry_g - cy_s
+        cxi_s = cx_s.astype(jnp.int32)
+        cyi_s = cy_s.astype(jnp.int32)
+        if want_grads:
+            topv = jax.lax.broadcasted_iota(jnp.int32, (Q, GROUP), 0) < P
+            onev = jnp.ones_like(fx_s)
+            a0x_s = jnp.where(topv, 1.0 - fx_s, -onev)
+            a1x_s = jnp.where(topv, fx_s, onev)
+            a0y_s = jnp.where(topv, 1.0 - fy_s, -onev)
+            a1y_s = jnp.where(topv, fy_s, onev)
+        else:
+            a0x_s, a1x_s = 1.0 - fx_s, fx_s
+            a0y_s, a1y_s = 1.0 - fy_s, fy_s
+
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (Q, TILE_H), 1)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (Q, TILE_W), 1)
-        top = jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0) < P
         ones_w = jnp.ones((1, TILE_W), jnp.float32)
         dn = (((1,), (1,)), ((), ()))  # contract lane dims (B^T form)
 
@@ -91,30 +110,12 @@ def _make_kernel(n_groups: int, want_grads: bool):
               x0 = pl.multiple_of((code & 0xFFF) * 128, 128)
               tile = img_ref[0, pl.ds(y0, TILE_H), pl.ds(x0, TILE_W)]
 
-              rx = rx2_g[:, t : t + 1]            # (Q, 1)
-              ry = ry2_g[:, t : t + 1]
-              cx = jnp.floor(rx)
-              cy = jnp.floor(ry)
-              fx = rx - cx
-              fy = ry - cy
-              cxi = cx.astype(jnp.int32)
-              cyi = cy.astype(jnp.int32)
-              if want_grads:
-                  one = jnp.ones_like(fx)
-                  a0x = jnp.where(top, 1.0 - fx, -one)
-                  a1x = jnp.where(top, fx, one)
-                  a0y = jnp.where(top, 1.0 - fy, -one)
-                  a1y = jnp.where(top, fy, one)
-              else:
-                  a0x, a1x = 1.0 - fx, fx
-                  a0y, a1y = 1.0 - fy, fy
-
-              is_x0 = (cols_i == cxi).astype(tile.dtype)   # (Q, TILE_W)
-              is_x1 = (cols_i == cxi + 1).astype(tile.dtype)
-              is_y0 = (rows_i == cyi).astype(tile.dtype)   # (Q, TILE_H)
-              is_y1 = (rows_i == cyi + 1).astype(tile.dtype)
-              wxd = is_x0 * a0x + is_x1 * a1x    # rows [:P]=wx, [P:]=dwx
-              wyd = is_y0 * a0y + is_y1 * a1y    # rows [:P]=wy, [P:]=dwy
+              is_x0 = (cols_i == cxi_s[:, t : t + 1]).astype(tile.dtype)
+              is_x1 = (cols_i == cxi_s[:, t : t + 1] + 1).astype(tile.dtype)
+              is_y0 = (rows_i == cyi_s[:, t : t + 1]).astype(tile.dtype)
+              is_y1 = (rows_i == cyi_s[:, t : t + 1] + 1).astype(tile.dtype)
+              wxd = is_x0 * a0x_s[:, t : t + 1] + is_x1 * a1x_s[:, t : t + 1]
+              wyd = is_y0 * a0y_s[:, t : t + 1] + is_y1 * a1y_s[:, t : t + 1]
 
               TY = jnp.dot(wyd, tile, preferred_element_type=tile.dtype)
               if want_grads:

@@ -124,6 +124,9 @@ def make_ba_step(
         cam_c = jax.tree_util.tree_map(lambda x: x[o.target_cam], problem.cam_states)
         rho = problem.inv_depth[o.landmark]
 
+        if getattr(residual_fn, "batched", False):
+            return residual_fn(cam_a, cam_c, rho, o.aux)
+
         def one(ca, cc, rh, aux):
             return residual_fn(ca, cc, rh, aux)
 
@@ -144,6 +147,8 @@ def make_ba_step(
         rho = problem.inv_depth[o.landmark]
 
         if rj_fn is not None:
+            if getattr(rj_fn, "batched", False):
+                return rj_fn(cam_a, cam_c, rho, o.aux)
             return jax.vmap(rj_fn)(cam_a, cam_c, rho, o.aux)
 
         def one(ca, cc, rh, aux):

@@ -212,7 +212,10 @@ def _make_dense_fused_ba_solver(
         rho = problem.inv_depth[obs_p.landmark]
 
         if rj_fn is not None:
-            r, J = jax.vmap(rj_fn)(cam_a, cam_c, rho, obs_p.aux)
+            if getattr(rj_fn, "batched", False):
+                r, J = rj_fn(cam_a, cam_c, rho, obs_p.aux)
+            else:
+                r, J = jax.vmap(rj_fn)(cam_a, cam_c, rho, obs_p.aux)
         else:
             def one(ca, cc_, rh, aux):
                 def f(d):

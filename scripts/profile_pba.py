@@ -222,5 +222,53 @@ def main():
         print(f"  residual alone: {dt_r * 1e3:.2f} ms", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "kernel" not in __import__("sys").argv:
     main()
+
+
+def main_kernel():
+    """Kernel-sampled full-iteration timing (run: ... kernel)."""
+    enable_compilation_cache()
+    print("backend:", jax.default_backend())
+    problem, images_flat, H, W = build_euroc_scale_pba()
+    from photometric_bundle_adjustment_tpu.models import photometric_ba as pba2
+
+    Kimg = 164
+    prob2, iog, gcnt = pba2.imagesort_problem(problem, Kimg)
+    print(f"Opad={prob2.obs.valid.shape[0]} groups={len(iog)}")
+    solver = pba2.make_kernel_fused_solver(
+        "pinhole", images_flat, H, W, iog, gcnt
+    )
+    plan = fused.plan_for_problem(prob2, host=False, pow2_buckets=False)
+    cfg = ba.BAConfig(max_iterations=1, huber_delta=9.0)
+
+    # images threaded as an ARG so the timing jit doesn't inline 282 MB
+    # of pixels as an HLO constant (HTTP 413 on the tunnel compiler)
+    def full_iter(problem, img):
+        inner = solver.make_inner(img)
+        with jax.default_matmul_precision("float32"):
+            cost, neq = inner.build(problem, plan, cfg)
+            dc, dp = inner.solve_lam(
+                neq, plan, jnp.asarray(1e-4, problem.inv_depth.dtype),
+                ~problem.fixed_cams, cfg,
+            )
+            new_cams = jax.vmap(pba.cam_retract)(problem.cam_states, dc)
+            return problem._replace(
+                cam_states=new_cams, inv_depth=problem.inv_depth + dp
+            ), cost
+
+    dt = time_fn(full_iter, prob2, solver.images_pad, iters=20)
+    print(f"kernel full LM iteration: {dt * 1e3:.2f} ms  ({1 / dt:.1f} it/s)",
+          flush=True)
+
+    def build_only(problem, img):
+        inner = solver.make_inner(img)
+        with jax.default_matmul_precision("float32"):
+            return inner.build(problem, plan, cfg)
+
+    dt_b = time_fn(build_only, prob2, solver.images_pad, iters=20)
+    print(f"  build: {dt_b * 1e3:.2f} ms", flush=True)
+
+
+if __name__ == "__main__" and "kernel" in __import__("sys").argv:
+    raise SystemExit(main_kernel())

@@ -260,3 +260,62 @@ def test_tile_sampler_matches_gather_sampler():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
         )
+
+
+def test_kernel_batched_solver_matches_gather_solver():
+    """imagesort_problem + make_batched_fns (Pallas kernel, interpret on
+    CPU) reproduce the vmapped gather-sampler solve."""
+    from photometric_bundle_adjustment_tpu.models import synthetic
+    from photometric_bundle_adjustment_tpu.optim import fused
+    from photometric_bundle_adjustment_tpu.ops import patch_sample as ps
+
+    problem, images_flat, H, W, _, _ = synthetic.synth_pba_problem(
+        K=5, L=96, H=64, W=96, pose_noise=0.01, depth_noise=0.05
+    )
+    images_flat = jnp.asarray(np.asarray(images_flat), jnp.float32)
+    problem = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x,
+        problem,
+    )
+    cfg = ba.BAConfig(max_iterations=5, huber_delta=9.0)
+
+    # reference: gather-sampler fused solve
+    solver_ref = pba.make_fused_solver("pinhole", images_flat, H, W)
+    plan_ref = fused.plan_for_problem(problem, host=False)
+    p_ref, r_ref = solver_ref(problem, plan_ref, cfg)
+
+    # kernel path (interpret mode on CPU)
+    prob2, iog, gcnt = pba.imagesort_problem(problem, 5)
+    res_b, rj_b = pba.make_batched_fns(
+        "pinhole", images_flat, H, W, iog, gcnt
+    )
+    # route the kernel through the interpreter on CPU
+    import photometric_bundle_adjustment_tpu.ops.patch_sample as psmod
+    orig = psmod.sample_patches_grouped
+    import functools as ft
+    psmod_sample = ft.partial(orig, interpret=True)
+    try:
+        psmod.sample_patches_grouped = psmod_sample
+        # rebuild fns so they close over the interpreted sampler
+        res_b, rj_b = pba.make_batched_fns(
+            "pinhole", images_flat, H, W, iog, gcnt
+        )
+        solver_k = fused.make_fused_ba_solver(
+            res_b, pba.cam_retract, 8, rj_fn=rj_b
+        )
+        plan_k = fused.plan_for_problem(prob2, host=False)
+        p_k, r_k = solver_k(prob2, plan_k, cfg)
+    finally:
+        psmod.sample_patches_grouped = orig
+
+    np.testing.assert_allclose(
+        float(r_ref.cost), float(r_k.cost), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_ref.cam_states.pose), np.asarray(p_k.cam_states.pose),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_ref.inv_depth), np.asarray(p_k.inv_depth), atol=2e-4
+    )
