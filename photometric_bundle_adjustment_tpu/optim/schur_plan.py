@@ -255,6 +255,7 @@ def build_dense_lm_plan(
     nc_bucket: int = 64,
     pow2_buckets: bool = True,
     slot_bucket: int = 2,
+    slots: int | None = None,
 ):
     """Landmark-dense layout: returns ``(perm, plan)``.
 
@@ -275,6 +276,12 @@ def build_dense_lm_plan(
     counts = np.bincount(ln[vidx], minlength=L)
     S = _round_up(max(int(counts.max()) if vidx.size else 1, 1),
                   slot_bucket, pow2_buckets)
+    if slots is not None:
+        if slots < S and slots < int(counts.max() if vidx.size else 1):
+            raise ValueError(
+                f"forced slots={slots} < max obs per landmark {counts.max()}"
+            )
+        S = max(slots, 1)
 
     # slot assignment: stable order within each landmark
     order = np.argsort(ln[vidx], kind="stable")

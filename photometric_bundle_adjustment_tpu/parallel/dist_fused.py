@@ -35,7 +35,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from photometric_bundle_adjustment_tpu.optim import ba, fused
 from photometric_bundle_adjustment_tpu.optim.schur_plan import (
     ChunkPlan,
+    DenseLmSchurPlan,
     SchurPlan,
+    build_dense_lm_plan,
     build_schur_plan,
 )
 from photometric_bundle_adjustment_tpu.parallel.mesh import DATA_AXIS
@@ -46,7 +48,7 @@ class ShardedFusedProblem(NamedTuple):
     plus per-shard assembly plans (padded to common shapes)."""
 
     problem: ba.BAProblem       # obs/landmark arrays (D*O_s,)/(D*L_s,), cams (K,...)
-    plans: SchurPlan            # arrays stacked (D, ...)
+    plans: SchurPlan            # SchurPlan or DenseLmSchurPlan, stacked (D, ...)
     n_shards: int
 
 
@@ -57,11 +59,20 @@ def _pad_leading(x: np.ndarray, n: int, fill) -> np.ndarray:
     return np.concatenate([x, pad])
 
 
-def prepare(problem: ba.BAProblem, mesh: Mesh) -> ShardedFusedProblem:
+def prepare(problem: ba.BAProblem, mesh: Mesh,
+            layout: str = "chunk") -> ShardedFusedProblem:
     """Host-side: sort observations by landmark, assign contiguous landmark
     ranges to shards balancing observation counts, localise landmark
-    indices, pad every shard to common (O_s, L_s), and build one SchurPlan
-    per shard (padded to common chunk counts)."""
+    indices, pad every shard to common (O_s, L_s), and build one plan per
+    shard (padded to common chunk counts).
+
+    ``layout="dense"`` uses the landmark-dense observation layout
+    (optim.schur_plan.DenseLmSchurPlan): each shard's rows are reordered
+    into (L_s, S) slots with a common S, so the landmark-axis reductions
+    of the fused build are reshapes on every device — the composition of
+    the single-chip dense layout with the landmark-sharded distribution.
+    Shards are landmark-aligned either way, so the dense reorder is purely
+    shard-local (no cross-device movement)."""
     D = mesh.devices.size
     o = problem.obs
     an = np.asarray(o.anchor_cam)
@@ -82,6 +93,16 @@ def prepare(problem: ba.BAProblem, mesh: Mesh) -> ShardedFusedProblem:
     obs_shard = lm_shard[ln]
     L_s = int(np.bincount(lm_shard, minlength=D).max())
     O_s = int(np.bincount(obs_shard[order], minlength=D).max())
+    if layout == "dense":
+        # common slot count across shards so padded shapes agree
+        from photometric_bundle_adjustment_tpu.optim.schur_plan import (
+            _round_up,
+        )
+
+        S_common = _round_up(
+            max(1, int(np.bincount(ln[valid], minlength=L).max())), 2
+        )
+        O_s = L_s * S_common
 
     lm_start = np.searchsorted(lm_shard, np.arange(D))
     lm_count = np.bincount(lm_shard, minlength=D)
@@ -118,12 +139,33 @@ def prepare(problem: ba.BAProblem, mesh: Mesh) -> ShardedFusedProblem:
         inv_shards.append(_pad_leading(inv_np[lo : lo + n_lm], L_s, 1.0))
         lmv_shards.append(_pad_leading(lmv_np[lo : lo + n_lm], L_s, False))
         valid_local = _pad_leading(valid[sel], O_s, False)
-        plans.append(
-            build_schur_plan(
+        if layout == "dense":
+            perm, plan_d = build_dense_lm_plan(
                 shards["anchor_cam"][-1], shards["target_cam"][-1],
                 shards["landmark"][-1], K, L_s, valid=valid_local,
+                slots=S_common,
             )
-        )
+            take = np.where(perm >= 0, perm, 0)
+            filled = perm >= 0
+            for k in shards:
+                arr = shards[k][-1][take]
+                if k != "landmark":
+                    arr = np.where(filled, arr, 0)
+                else:
+                    arr = np.repeat(np.arange(L_s), S_common)
+                shards[k][-1] = arr
+            for i in range(len(aux_shards)):
+                a = aux_shards[i][-1][take]
+                sel2 = filled.reshape((-1,) + (1,) * (a.ndim - 1))
+                aux_shards[i][-1] = np.where(sel2, a, np.zeros_like(a))
+            plans.append(plan_d)
+        else:
+            plans.append(
+                build_schur_plan(
+                    shards["anchor_cam"][-1], shards["target_cam"][-1],
+                    shards["landmark"][-1], K, L_s, valid=valid_local,
+                )
+            )
 
     # pad plans to common chunk counts (dummy rows follow each plan's own
     # conventions: gidx -> payload-zero row, rows -> dropped output row)
@@ -132,24 +174,40 @@ def prepare(problem: ba.BAProblem, mesh: Mesh) -> ShardedFusedProblem:
         n = max(a.shape[0] for a in arrs)
         return np.stack([_pad_leading(a, n, dummy) for a in arrs])
 
-    stacked = SchurPlan(
-        pg=stack_plans(lambda p: p.pg, O_s),
-        cc_rows4=stack_plans(lambda p: p.cc_rows4, K * K),
-        lm=ChunkPlan(
-            gidx=stack_plans(lambda p: p.lm.gidx, O_s),
-            rows=stack_plans(lambda p: p.lm.rows, L_s),
-        ),
-        gc_a=ChunkPlan(
-            gidx=stack_plans(lambda p: p.gc_a.gidx, O_s),
-            rows=stack_plans(lambda p: p.gc_a.rows, K),
-        ),
-        gc_t=ChunkPlan(
-            gidx=stack_plans(lambda p: p.gc_t.gidx, O_s),
-            rows=stack_plans(lambda p: p.gc_t.rows, K),
-        ),
-        lm_cam=stack_plans(lambda p: p.lm_cam, K),
-        anchor_cam_of_lm=stack_plans(lambda p: p.anchor_cam_of_lm, K),
-    )
+    if layout == "dense":
+        stacked = DenseLmSchurPlan(
+            pg=stack_plans(lambda p: p.pg, O_s),
+            cc_rows4=stack_plans(lambda p: p.cc_rows4, K * K),
+            gc_a=ChunkPlan(
+                gidx=stack_plans(lambda p: p.gc_a.gidx, O_s),
+                rows=stack_plans(lambda p: p.gc_a.rows, K),
+            ),
+            gc_t=ChunkPlan(
+                gidx=stack_plans(lambda p: p.gc_t.gidx, O_s),
+                rows=stack_plans(lambda p: p.gc_t.rows, K),
+            ),
+            lm_cam=np.stack([p.lm_cam for p in plans]),
+            anchor_cam_of_lm=np.stack([p.anchor_cam_of_lm for p in plans]),
+        )
+    else:
+        stacked = SchurPlan(
+            pg=stack_plans(lambda p: p.pg, O_s),
+            cc_rows4=stack_plans(lambda p: p.cc_rows4, K * K),
+            lm=ChunkPlan(
+                gidx=stack_plans(lambda p: p.lm.gidx, O_s),
+                rows=stack_plans(lambda p: p.lm.rows, L_s),
+            ),
+            gc_a=ChunkPlan(
+                gidx=stack_plans(lambda p: p.gc_a.gidx, O_s),
+                rows=stack_plans(lambda p: p.gc_a.rows, K),
+            ),
+            gc_t=ChunkPlan(
+                gidx=stack_plans(lambda p: p.gc_t.gidx, O_s),
+                rows=stack_plans(lambda p: p.gc_t.rows, K),
+            ),
+            lm_cam=stack_plans(lambda p: p.lm_cam, K),
+            anchor_cam_of_lm=stack_plans(lambda p: p.anchor_cam_of_lm, K),
+        )
 
     dtype = inv_np.dtype
     obs = ba.BAObservations(

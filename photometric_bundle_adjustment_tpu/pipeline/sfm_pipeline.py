@@ -1166,9 +1166,12 @@ class SfmPipeline:
         return os.path.join(self.cache_dir, f"{name}.pkl")
 
     def _save_cache(self, name):
+        import os
+
         path = self._cache_path(name)
         if path is None:
             return
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         data = self.corners if name == "corners" else self.matches
         with open(path, "wb") as f:
             pickle.dump({"n_images": len(self.images), "data": data}, f)

@@ -146,7 +146,12 @@ def main():
     rj = pba.make_rj_fn("pinhole", images_flat, H, W)
     res = pba.make_residual_fn("pinhole", images_flat, H, W)
     solver = fused.make_fused_ba_solver(res, pba.cam_retract, 8, rj_fn=rj)
-    plan = fused.plan_for_problem(problem, host=False, pow2_buckets=False)
+    import sys
+    if "dense" in sys.argv:
+        problem, plan = fused.densify_problem(problem, pow2_buckets=False)
+        print("landmark-dense layout: Opad =", problem.obs.valid.shape[0])
+    else:
+        plan = fused.plan_for_problem(problem, host=False, pow2_buckets=False)
 
     def full_iter(problem):
         with jax.default_matmul_precision("float32"):

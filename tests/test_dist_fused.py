@@ -70,3 +70,39 @@ def test_distributed_fused_photometric():
     p_dist, r = dsolve(sharded, cfg)
     assert np.isfinite(float(r.cost))
     assert float(r.cost) <= float(r.initial_cost)
+
+
+def test_distributed_dense_layout_matches_single_device():
+    """prepare(layout='dense'): landmark-dense shard-local layout solves to
+    the same result as the single-device fused solve (ragged obs counts)."""
+    problem, _, _ = synthetic.synth_ba_problem(
+        model="pinhole", K=12, L=96, obs_per_landmark=4,
+        pixel_noise=0.5, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(3)
+    v = np.asarray(problem.obs.valid).copy()
+    v[rng.random(v.shape[0]) < 0.25] = 0
+    problem = problem._replace(obs=problem.obs._replace(valid=jnp.asarray(v)))
+    cfg = ba.BAConfig(max_iterations=8, huber_delta=1.0)
+    res_fn = geometric_ba.make_residual_fn("pinhole")
+
+    plan = fused.plan_for_problem(problem)
+    fsolve = fused.make_fused_ba_solver(res_fn, geometric_ba.cam_retract, 6)
+    p_single, r_single = fsolve(problem, plan, cfg)
+
+    mesh = mesh_mod.make_mesh(8)
+    sharded = dist_fused.prepare(problem, mesh, layout="dense")
+    assert isinstance(sharded.plans, dist_fused.DenseLmSchurPlan)
+    dsolve = dist_fused.make_distributed_fused_solver(
+        res_fn, geometric_ba.cam_retract, 6, mesh
+    )
+    p_dist, r_dist = dsolve(sharded, cfg)
+
+    assert np.isfinite(float(r_dist.cost))
+    assert abs(float(r_dist.cost) - float(r_single.cost)) <= (
+        1e-4 * float(r_single.cost) + 1e-9
+    )
+    dc = np.abs(
+        np.asarray(p_dist.cam_states) - np.asarray(p_single.cam_states)
+    ).max()
+    assert dc < 1e-4
