@@ -91,21 +91,43 @@ def time_iters(lm_step, problem, iters: int) -> float:
     float(run_n(problem)[1])  # warmup/compile
     float(run_1(problem)[1])
 
-    def once():
+    # min of t_n and t_1 taken SEPARATELY over passes, then subtracted:
+    # min(t_n - t_1) would pick the pass whose 1-iteration run was polluted
+    # (recompile/cache reload landing in t_1 deflates the difference)
+    t_ns, t_1s = [], []
+    for _ in range(3):
         t0 = time.time()
         float(run_n(problem)[1])  # fetch forces sync
-        t_n = time.time() - t0
+        t_ns.append(time.time() - t0)
         t0 = time.time()
         float(run_1(problem)[1])
-        t_1 = time.time() - t0
-        return (t_n - t_1) / (iters - 1)
+        t_1s.append(time.time() - t0)
+    return (min(t_ns) - min(t_1s)) / (iters - 1)
 
-    # best of two passes: guards against one-off recompiles/cache reloads
-    # landing inside a timed region
-    return min(once(), once())
+
+def _cpu_baseline_main():
+    """Subprocess entry: time the CPU formulation and print seconds/iter.
+
+    Runs under JAX_PLATFORMS=cpu in a fresh process so the executable is
+    compiled natively for THIS host.  (Measuring the CPU baseline inside
+    the TPU process reused compilation-cache entries built with
+    accelerator-oriented flags — prefer-no-scatter/no-gather — that execute
+    ~5x slower than a native CPU compile, inflating the reported speedup.)
+    """
+    import jax.numpy as jnp
+
+    lm_step, problem = build_step(
+        jnp.float32, use_manual_jac=True, host_plan=True
+    )
+    print("CPU_DT", time_iters(lm_step, problem, 8))
 
 
 def main():
+    import os
+    import re
+    import subprocess
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -119,16 +141,19 @@ def main():
         jnp.float32, use_manual_jac=(backend == "cpu"),
         host_plan=(backend == "cpu"),
     )
-    dt = time_iters(lm_step, problem, 50 if backend != "cpu" else 5)
+    dt = time_iters(lm_step, problem, 50 if backend != "cpu" else 8)
     iters_per_s = 1.0 / dt
 
-    # CPU baseline of the same computation
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        lm_step_cpu, problem_cpu = build_step(
-            jnp.float32, use_manual_jac=True, host_plan=True
+    if backend == "cpu":
+        dt_cpu = dt
+    else:
+        env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_CPU_BASELINE="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800,
         )
-        dt_cpu = time_iters(lm_step_cpu, problem_cpu, 4)
+        m = re.search(r"CPU_DT ([0-9.eE+-]+)", out.stdout)
+        dt_cpu = float(m.group(1)) if m else float("nan")
 
     print(
         json.dumps(
@@ -143,4 +168,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os as _os
+
+    if _os.environ.get("BENCH_CPU_BASELINE"):
+        _cpu_baseline_main()
+    else:
+        main()

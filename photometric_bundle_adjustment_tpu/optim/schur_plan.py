@@ -72,25 +72,30 @@ class SchurPlan(NamedTuple):
 
 
 class DenseLmSchurPlan(NamedTuple):
-    """Assembly plan for the landmark-dense observation layout.
+    """Assembly plan for the SLOT-MAJOR landmark-dense observation layout.
 
-    The problem's observation rows are host-reordered into (L, S) slots —
-    row ``l*S + s`` is the s-th observation of landmark l (padding slots
+    The problem's observation rows are host-reordered into (S, L) slots —
+    row ``s*L + l`` is the s-th observation of landmark l (padding slots
     have valid=0) — so every landmark-axis reduction in the fused solver
     (anchor couplings, H_pp, g_p, and the rows of the dense Schur matrix M)
-    becomes a RESHAPE + dense sum / batched matmul instead of a
-    gather+scatter chunked segment sum.  The trade: padded rows add
-    residual/Jacobian work (bounded by the slot bucketing), but remove the
-    lane-hostile landmark gathers from the hot loop entirely.  Camera-pair
-    (H_cc) and per-camera (g_c) reductions keep their chunk plans, built
-    over the reordered rows.
+    becomes a RESHAPE to (S, L, width) + a dense sum over the leading slot
+    axis.  Slot-major matters on TPU: the reshape keeps the (L, width)
+    minor dims, whose physical (8, 128)-tile padding is benign, whereas the
+    landmark-major (L, S, width) view puts the tiny (S, width) dims in the
+    tile and inflates every read ~10-80x (measured: the slot reductions +
+    g_c chunk sums cost 3.1 ms of a 4.9 ms build in the landmark-major
+    layout and ~0.2 ms in this one).  The per-camera gradient g_c is
+    assembled by two one-hot (K, O)x(O, C) matmuls instead of chunked
+    segment sums — same dense-FLOPs-for-irregular-gathers trade as the
+    Schur-correction lift.  Camera-pair (H_cc) reductions keep their Gram
+    chunks, built over the reordered rows.
     """
 
     pg: np.ndarray        # (NCp, Bp) int32 into padded obs rows [0, L*S]
     cc_rows4: np.ndarray  # (NCp, 4) int32 rows into (K*K [+1 dropped], .)
-    gc_a: ChunkPlan       # padded obs rows -> K
-    gc_t: ChunkPlan       # padded obs rows -> K
-    lm_cam: np.ndarray    # (L, S) int32 target cam per slot; K for padding
+    obs_anchor_cam: np.ndarray  # (L*S,) int32 anchor cam per row; K if pad
+    obs_target_cam: np.ndarray  # (L*S,) int32 target cam per row; K if pad
+    lm_cam: np.ndarray    # (S, L) int32 target cam per slot; K for padding
     anchor_cam_of_lm: np.ndarray  # (L,) int32; K for landmarks with no obs
 
 
@@ -257,11 +262,12 @@ def build_dense_lm_plan(
     slot_bucket: int = 2,
     slots: int | None = None,
 ):
-    """Landmark-dense layout: returns ``(perm, plan)``.
+    """Slot-major landmark-dense layout: returns ``(perm, plan)``.
 
-    ``perm`` is an (L*S,) int64 map from padded rows to original
-    observation rows (-1 for padding slots); the caller reorders the
-    problem's observation arrays with it (see ``fused.densify_problem``).
+    ``perm`` is an (S*L,) int64 map from padded rows to original
+    observation rows (-1 for padding slots); padded row ``s*L + l`` is the
+    s-th observation of landmark l.  The caller reorders the problem's
+    observation arrays with it (see ``fused.densify_problem``).
     S is the max valid-observation count of any landmark, rounded up to a
     multiple of ``slot_bucket`` (pow2-bucketed if ``pow2_buckets`` so that
     growing problems reuse compiled code).
@@ -283,14 +289,14 @@ def build_dense_lm_plan(
             )
         S = max(slots, 1)
 
-    # slot assignment: stable order within each landmark
+    # slot assignment: stable order within each landmark; slot-major rows
     order = np.argsort(ln[vidx], kind="stable")
     ov = vidx[order]
     lv = ln[vidx][order]
     starts = np.r_[0, np.cumsum(counts)[:-1]]
     slot = np.arange(ov.size) - starts[lv]
-    perm = np.full(L * S, -1, np.int64)
-    perm[lv * S + slot] = ov
+    perm = np.full(S * L, -1, np.int64)
+    perm[slot * L + lv] = ov
 
     Opad = L * S
     filled = perm >= 0
@@ -311,31 +317,20 @@ def build_dense_lm_plan(
     cc_rows4 = np.full((NCpb, 4), K * K, np.int64)
     cc_rows4[:NCp] = rows4
 
-    # per-camera chunks for g_c over the padded rows
-    def cam_chunk_plan(cam_ids):
-        g3, r3 = _chunk_segments(cam_ids, cam_chunk)
-        g3 = np.where(g3 >= 0, rows[np.clip(g3, 0, None)], Opad)
-        NC3 = g3.shape[0]
-        NC3b = _round_up(NC3, nc_bucket, pow2_buckets)
-        gg = np.full((NC3b, cam_chunk), Opad, np.int64)
-        gg[:NC3] = g3
-        gr = np.full(NC3b, K, np.int64)
-        gr[:NC3] = r3
-        return ChunkPlan(gg.astype(np.int32), gr.astype(np.int32))
+    # per-row camera ids for the one-hot g_c matmuls (K masks padding rows)
+    obs_anchor_cam = np.where(filled, an_d, K)
+    obs_target_cam = np.where(filled, tn_d, K)
 
-    gc_a_plan = cam_chunk_plan(an_d[rows])
-    gc_t_plan = cam_chunk_plan(tn_d[rows])
-
-    lm_cam = np.where(filled, tn_d, K).reshape(L, S)
+    lm_cam = np.where(filled, tn_d, K).reshape(S, L)
     anchor_cam_of_lm = np.full(L, K, np.int64)
     has = counts > 0
-    anchor_cam_of_lm[has] = an_d.reshape(L, S)[has, 0]
+    anchor_cam_of_lm[has] = an_d.reshape(S, L)[0][has]
 
     plan = DenseLmSchurPlan(
         pg=pg.astype(np.int32),
         cc_rows4=cc_rows4.astype(np.int32),
-        gc_a=gc_a_plan,
-        gc_t=gc_t_plan,
+        obs_anchor_cam=obs_anchor_cam.astype(np.int32),
+        obs_target_cam=obs_target_cam.astype(np.int32),
         lm_cam=lm_cam.astype(np.int32),
         anchor_cam_of_lm=anchor_cam_of_lm.astype(np.int32),
     )

@@ -152,7 +152,8 @@ def prepare(problem: ba.BAProblem, mesh: Mesh,
                 if k != "landmark":
                     arr = np.where(filled, arr, 0)
                 else:
-                    arr = np.repeat(np.arange(L_s), S_common)
+                    # slot-major: padded row s*L_s + l observes landmark l
+                    arr = np.tile(np.arange(L_s), S_common)
                 shards[k][-1] = arr
             for i in range(len(aux_shards)):
                 a = aux_shards[i][-1][take]
@@ -178,14 +179,8 @@ def prepare(problem: ba.BAProblem, mesh: Mesh,
         stacked = DenseLmSchurPlan(
             pg=stack_plans(lambda p: p.pg, O_s),
             cc_rows4=stack_plans(lambda p: p.cc_rows4, K * K),
-            gc_a=ChunkPlan(
-                gidx=stack_plans(lambda p: p.gc_a.gidx, O_s),
-                rows=stack_plans(lambda p: p.gc_a.rows, K),
-            ),
-            gc_t=ChunkPlan(
-                gidx=stack_plans(lambda p: p.gc_t.gidx, O_s),
-                rows=stack_plans(lambda p: p.gc_t.rows, K),
-            ),
+            obs_anchor_cam=np.stack([p.obs_anchor_cam for p in plans]),
+            obs_target_cam=np.stack([p.obs_target_cam for p in plans]),
             lm_cam=np.stack([p.lm_cam for p in plans]),
             anchor_cam_of_lm=np.stack([p.anchor_cam_of_lm for p in plans]),
         )
