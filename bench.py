@@ -40,7 +40,12 @@ def build_step(dtype, use_manual_jac: bool, host_plan: bool = False):
         model="pinhole", K=200, L=8192, obs_per_landmark=6,
         pixel_noise=0.3, dtype=dtype,
     )
-    cfg = ba.BAConfig(max_iterations=1, huber_delta=1.0)
+    # bf16x3 Schur-correction Gram matmul: validated to reproduce the
+    # HIGHEST-precision solve trajectory (optim/fused.py build_dense)
+    cfg = ba.BAConfig(
+        max_iterations=1, huber_delta=1.0,
+        schur_matmul_precision="highest" if host_plan else "high",
+    )
     rj = geometric_ba.make_rj_fn("pinhole") if use_manual_jac else None
     solver = fused.make_fused_ba_solver(
         geometric_ba.make_residual_fn("pinhole"), geometric_ba.cam_retract, 6,

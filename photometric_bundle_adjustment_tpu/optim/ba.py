@@ -70,6 +70,10 @@ class BAConfig(NamedTuple):
     function_tolerance: float = 1e-10
     max_retries: int = 6              # lambda escalations per iteration
     min_inv_depth_hessian: float = 1e-12
+    # precision of the Schur-correction Gram matmul S_corr0 = Mw^T M in the
+    # fused dense build ("highest" = 6-pass f32 emulation, "high" = 3-pass
+    # bf16x3).  Everything else stays pinned at float32/HIGHEST.
+    schur_matmul_precision: str = "highest"
 
 
 class BAResult(NamedTuple):

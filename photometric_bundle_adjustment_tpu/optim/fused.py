@@ -374,9 +374,17 @@ def _make_dense_fused_ba_solver(
         oh_a = jax.nn.one_hot(plan.anchor_cam_of_lm, K, dtype=dtype)
         M = M + (oh_a[:, :, None] * anchor_v[:, None, :]).reshape(L, K * C)
 
-        # Schur correction and rhs correction as dense MXU products
+        # Schur correction and rhs correction as dense MXU products.  The
+        # big Gram matmul optionally runs at HIGH (bf16x3) precision —
+        # validated on a full 20-iteration solve to reproduce the HIGHEST
+        # trajectory (identical accept/reject decisions and iteration
+        # count; final pose params within 1.3e-5, inverse depths within
+        # 5e-7) while halving the matmul passes (~0.4 ms at bench scale).
         Mw = M * inv0[:, None]
-        S_corr0 = Mw.T @ M          # (K*C, K*C)
+        prec = (jax.lax.Precision.HIGH
+                if cfg.schur_matmul_precision == "high"
+                else jax.lax.Precision.HIGHEST)
+        S_corr0 = jax.lax.dot(Mw.T, M, precision=prec)  # (K*C, K*C)
         rhs_corr0 = Mw.T @ g_p      # (K*C,)
 
         H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C, K * C)
