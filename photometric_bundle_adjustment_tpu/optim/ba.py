@@ -343,9 +343,15 @@ def make_ba_solver(
             lam_f, accepted, new_cost, _, dc_f, dp_f = jax.lax.while_loop(
                 inner_cond, inner_body, (lam, False, cost, 0, dc0, dp0)
             )
+            # select only the mutable state — a whole-pytree select would
+            # copy the (large, constant) observation arrays every iteration
             p_acc = apply_step(prob, dc_f, dp_f)
-            p_new = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(accepted, a, b), p_acc, prob
+            p_new = prob._replace(
+                cam_states=jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(accepted, a, b),
+                    p_acc.cam_states, prob.cam_states,
+                ),
+                inv_depth=jnp.where(accepted, p_acc.inv_depth, prob.inv_depth),
             )
             cost_new = jnp.where(accepted, new_cost, cost)
             lam_new = jnp.where(

@@ -365,9 +365,17 @@ def make_distributed_fused_solver(
                             (lam, False, cost, 0, dc0, dp0),
                         )
                     )
+                    # select only the mutable state — a whole-pytree select
+                    # would copy the constant observation arrays each iter
                     p_acc = apply(dc_f, dp_f)
-                    p_new = jax.tree_util.tree_map(
-                        lambda a, b: jnp.where(accepted, a, b), p_acc, p
+                    p_new = p._replace(
+                        cam_states=jax.tree_util.tree_map(
+                            lambda a, b: jnp.where(accepted, a, b),
+                            p_acc.cam_states, p.cam_states,
+                        ),
+                        inv_depth=jnp.where(
+                            accepted, p_acc.inv_depth, p.inv_depth
+                        ),
                     )
                     cost_new = jnp.where(accepted, new_cost, cost)
                     lam_new = jnp.where(
