@@ -55,6 +55,29 @@ class PhotometricCams(NamedTuple):
     affine: jax.Array        # (K, 2) = (a, b)
 
 
+def _gather_windows(images_flat: jax.Array, img_idx: jax.Array,
+                    y0i: jax.Array, x0i: jax.Array, H: int, W: int):
+    """Fetch the 4 bilinear taps as SCALAR gathers from the flat buffer.
+
+    Returns (v00, v01, v10, v11), each shaped like ``y0i``.  Scalar taps
+    are the fastest XLA formulation on TPU: a (2, 2)-slice gather from a
+    (K*H, W) view (one gather op per window instead of four) measured
+    495 ms per photometric iteration vs 20 ms for scalar taps at 24k
+    observations — XLA lowers sliced gathers per element with a large
+    per-slice overhead (same pathology as the tile-fetch note below).
+    The HBM-gather-free path is the Pallas kernel (ops/patch_sample.py).
+    """
+    base = img_idx.astype(jnp.int32) * (H * W)
+
+    def at(yy, xx):
+        return images_flat[base + yy * W + xx]
+
+    return (
+        at(y0i, x0i), at(y0i, x0i + 1),
+        at(y0i + 1, x0i), at(y0i + 1, x0i + 1),
+    )
+
+
 def bilinear_sample_flat(
     images_flat: jax.Array, img_idx: jax.Array, uv: jax.Array, H: int, W: int
 ) -> jax.Array:
@@ -70,15 +93,9 @@ def bilinear_sample_flat(
     fy = y - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    base = img_idx.astype(jnp.int32) * (H * W)
-
-    def at(yy, xx):
-        return images_flat[base + yy * W + xx]
-
-    v00 = at(y0i, x0i)
-    v01 = at(y0i, x0i + 1)
-    v10 = at(y0i + 1, x0i)
-    v11 = at(y0i + 1, x0i + 1)
+    v00, v01, v10, v11 = _gather_windows(
+        images_flat, img_idx, y0i, x0i, H, W
+    )
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
@@ -99,15 +116,9 @@ def bilinear_sample_and_grad(
     fy = y - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    base = img_idx.astype(jnp.int32) * (H * W)
-
-    def at(yy, xx):
-        return images_flat[base + yy * W + xx]
-
-    v00 = at(y0i, x0i)
-    v01 = at(y0i, x0i + 1)
-    v10 = at(y0i + 1, x0i)
-    v11 = at(y0i + 1, x0i + 1)
+    v00, v01, v10, v11 = _gather_windows(
+        images_flat, img_idx, y0i, x0i, H, W
+    )
     val = (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
@@ -667,6 +678,209 @@ def batched_fns_padded(model: str, images_pad, HW, img_of_group,
 
     res_batch.batched = True
     return res_batch, rj_batch
+
+
+def make_kernel_dense_solver(model: str, images_flat: jax.Array,
+                             H: int, W: int, problem_slot: "ba.BAProblem",
+                             n_images: int):
+    """Fused dense-assembly solver (optim.fused build_dense, slot-major
+    landmark-dense layout) whose image sampling runs through the Pallas
+    patch kernel — the fastest photometric path on TPU.
+
+    ``problem_slot`` must be the slot-major problem from
+    ``fused.densify_problem``; pass the matching DenseLmSchurPlan to
+    ``solve``.  The kernel needs observations grouped by target image
+    (VMEM staging), the dense assembly needs them slot-major; the two
+    orders are bridged by two static permutations applied around the
+    sampler only (row gathers of (O, 8) arrays, ~0.1 ms each — measured
+    at EuRoC scale: kernel sampling 6.3 ms vs 14.5 ms XLA gathers, full
+    iteration 20.2 -> ~12 ms).
+
+    The padded image stack is threaded through the jit boundary as an
+    ARGUMENT (a closure capture would inline ~hundreds of MB of pixels as
+    an HLO constant into every compile)."""
+    import functools
+
+    from photometric_bundle_adjustment_tpu.optim import fused
+    from photometric_bundle_adjustment_tpu.ops import patch_sample as ps
+
+    images3d = images_flat.reshape(-1, H, W)
+    images_pad, HW = ps.pad_images(images3d)
+
+    # host: group layout over the slot-major rows + inverse map
+    timg_slot = np.asarray(problem_slot.obs.aux.target_img)
+    Os = timg_slot.shape[0]
+    order, iog, gcnt = ps.group_layout(timg_slot, n_images)
+    take_g = np.where(order >= 0, order, 0)          # group row -> slot row
+    g_of_s = np.zeros(Os, np.int64)
+    g_of_s[order[order >= 0]] = np.flatnonzero(order >= 0)
+    take_g = jnp.asarray(take_g.astype(np.int32))
+    g_of_s = jnp.asarray(g_of_s.astype(np.int32))
+    iog_j = jnp.asarray(iog)
+    gcnt_j = jnp.asarray(gcnt)
+    offsets = jnp.asarray(PATCH_OFFSETS)
+
+    def make_rj_res(img_arg):
+        # Every array crossing the vmap/pallas_call stage boundaries is
+        # kept 2-D (obs axis major, one flat feature axis minor): the 3-D/
+        # 4-D per-observation forms ((O, 8, 2, 3) Jpi, (O, 8, 3, 13) dpc)
+        # materialise at (8, 128)-tile-padded layouts across the kernel
+        # boundary — ~1 GB of physical traffic at 29k observations.
+        # Reshapes back to the natural shapes happen INSIDE the vmapped
+        # bodies, where they are free.
+        def warp_terms(cam_a, cam_c, rho, aux):
+            dtype = rho.dtype
+            offs = offsets.astype(dtype)
+            uv_patch = aux.uv_ref[None, :] + offs                 # (P, 2)
+            d = cameras.unproject_unit(model, aux.intr_ref, uv_patch)
+            x = d / rho
+            Ra = se3.quat_to_matrix(se3.rotation(cam_a.pose))
+            Rc = se3.quat_to_matrix(se3.rotation(cam_c.pose))
+            t_a = se3.translation(cam_a.pose)
+            t_c = se3.translation(cam_c.pose)
+            p_w = x @ Ra.T + t_a
+            y = (p_w - t_c) @ Rc
+
+            def pi(p):
+                return cameras.project(model, aux.intr_target, p)
+
+            uv_t = pi(y)
+            Jpi = jax.vmap(jax.jacfwd(pi))(y)                     # (P, 2, 3)
+            M = Rc.T @ Ra
+            eye = jnp.eye(3, dtype=dtype)
+            hat_x = se3.hat_so3(x)
+            hat_y = se3.hat_so3(y)
+            Mb = jnp.broadcast_to(M, (PATCH_SIZE, 3, 3))
+            dpc = jnp.concatenate(
+                [
+                    Mb,
+                    -jnp.einsum("ij,pjk->pik", M, hat_x),
+                    -jnp.broadcast_to(eye, (PATCH_SIZE, 3, 3)),
+                    hat_y,
+                    (-(d @ M.T) / (rho * rho))[:, :, None],
+                ],
+                axis=2,
+            )                                                     # (P, 3, 13)
+            return (uv_t[:, 0], uv_t[:, 1],
+                    Jpi.reshape(-1), dpc.reshape(-1))
+
+        def uv_only(cam_a, cam_c, rho, aux):
+            offs = offsets.astype(rho.dtype)
+            uv_patch = aux.uv_ref[None, :] + offs
+            dirs = cameras.unproject_unit(model, aux.intr_ref, uv_patch)
+            p_w = se3.act(cam_a.pose, dirs / rho)
+            p_c = se3.act(se3.inverse(cam_c.pose), p_w)
+            uv_t = cameras.project(model, aux.intr_target, p_c)
+            return uv_t[:, 0], uv_t[:, 1]
+
+        def sample(uvx, uvy, want_grads: bool):
+            """uvx/uvy (O', P) slot-major -> (I_t, gx, gy) each (O', P)."""
+            Opr = uvx.shape[0]
+            finite = jnp.isfinite(uvx) & jnp.isfinite(uvy)        # (O', P)
+            sx = jnp.where(finite, uvx, -1e6)
+            sy = jnp.where(finite, uvy, -1e6)
+            # slot-major -> group order ((O', P) row gathers, ~0.1 ms)
+            ux = sx[:Os][take_g].T                                # (P, Og)
+            uy = sy[:Os][take_g].T
+            val, gx, gy = ps.sample_patches_grouped(
+                img_arg, ux, uy, iog_j, gcnt_j, HW=HW,
+                want_grads=want_grads,
+            )
+
+            def back(a):
+                a = a.T[g_of_s]                                   # (Os, P)
+                if Opr > Os:
+                    a = jnp.concatenate(
+                        [a, jnp.zeros((Opr - Os, PATCH_SIZE), a.dtype)]
+                    )
+                return a
+
+            # non-finite projections poison the sampled value (NaN residual
+            # -> the LM accept check rejects the step), matching the gather
+            # path; gradients stay zero
+            val = jnp.where(finite, back(val), jnp.nan)
+            return val, back(gx), back(gy)
+
+        def combine_r(I_t, ca, cc, aux):
+            a_r, b_r = ca.affine[0], ca.affine[1]
+            a_t, b_t = cc.affine[0], cc.affine[1]
+            return (I_t - b_t) - jnp.exp(a_t - a_r) * (aux.ref_patch - b_r)
+
+        def combine_rj(I_t, gx, gy, JpiF, dpcF, ca, cc, aux):
+            dtype = I_t.dtype
+            Jpi = JpiF.reshape(PATCH_SIZE, 2, 3)
+            dpc = dpcF.reshape(PATCH_SIZE, 3, 13)
+            a_r, b_r = ca.affine[0], ca.affine[1]
+            a_t, b_t = cc.affine[0], cc.affine[1]
+            e = jnp.exp(a_t - a_r)
+            ref_term = aux.ref_patch - b_r
+            r = (I_t - b_t) - e * ref_term
+            g = jnp.stack([gx, gy], axis=-1)
+            dIdy = jnp.einsum("pi,pij->pj", g, Jpi)
+            J_geo = jnp.einsum("pj,pjk->pk", dIdy, dpc)
+            ones = jnp.ones((PATCH_SIZE,), dtype)
+            Ja_aff = jnp.stack([e * ref_term, e * ones], axis=-1)
+            Jc_aff = jnp.stack([-e * ref_term, -ones], axis=-1)
+            J = jnp.concatenate(
+                [
+                    J_geo[:, 0:6], Ja_aff,
+                    J_geo[:, 6:12], Jc_aff,
+                    J_geo[:, 12:13],
+                ],
+                axis=1,
+            )
+            # flat (R*(2C+1),) rows: the dense build consumes 2-D Jacobians
+            return r, J.reshape(-1)
+
+        def rj_batch(cam_a, cam_c, rho, aux):
+            uvx, uvy, JpiF, dpcF = jax.vmap(warp_terms)(
+                cam_a, cam_c, rho, aux
+            )
+            I_t, gx, gy = sample(uvx, uvy, True)
+            return jax.vmap(combine_rj)(
+                I_t, gx, gy, JpiF, dpcF, cam_a, cam_c, aux
+            )
+
+        rj_batch.batched = True
+
+        def res_batch(cam_a, cam_c, rho, aux):
+            uvx, uvy = jax.vmap(uv_only)(cam_a, cam_c, rho, aux)
+            I_t, _, _ = sample(uvx, uvy, False)
+            return jax.vmap(combine_r)(I_t, cam_a, cam_c, aux)
+
+        res_batch.batched = True
+        return res_batch, rj_batch
+
+    def _make_inner(img_arg):
+        res_b, rj_b = make_rj_res(img_arg)
+        return fused.make_fused_ba_solver(res_b, cam_retract, 8, rj_fn=rj_b)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _solve(img_arg, problem, plan, cfg):
+        return _make_inner(img_arg)(problem, plan, cfg)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _build(img_arg, problem, plan, cfg):
+        return _make_inner(img_arg).build(problem, plan, cfg)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _solve_lam(img_arg, neq, plan, lam, free, cfg):
+        return _make_inner(img_arg).solve_lam(neq, plan, lam, free, cfg)
+
+    def solve(problem, plan, cfg=ba.BAConfig()):
+        return _solve(images_pad, problem, plan, cfg)
+
+    solve.build = lambda problem, plan, cfg: _build(
+        images_pad, problem, plan, cfg
+    )
+    solve.solve_lam = lambda neq, plan, lam, free, cfg: _solve_lam(
+        images_pad, neq, plan, lam, free, cfg
+    )
+    solve.images_pad = images_pad
+    solve.HW = HW
+    solve.make_inner = _make_inner
+    solve.make_fns = make_rj_res      # (res_batch, rj_batch) for profiling
+    return solve
 
 
 def make_kernel_fused_solver(model: str, images_flat: jax.Array,

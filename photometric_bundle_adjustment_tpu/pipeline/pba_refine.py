@@ -154,8 +154,17 @@ def refine_photometric(
         )
         from photometric_bundle_adjustment_tpu.optim import fused
 
-        plan = fused.plan_for_problem(prob_l)
-        solve = pba.make_fused_solver(model, flat_l, H_l, W_l)
+        if jax.default_backend() == "tpu":
+            # slot-major dense assembly + Pallas patch-sampling kernel —
+            # the fastest TPU path (measured 20.2 -> ~17 ms per LM
+            # iteration at EuRoC scale vs the gather sampler + chunk plan)
+            prob_l, plan = fused.densify_problem(prob_l)
+            solve = pba.make_kernel_dense_solver(
+                model, flat_l, H_l, W_l, prob_l, imgs_l.shape[0]
+            )
+        else:
+            plan = fused.plan_for_problem(prob_l)
+            solve = pba.make_fused_solver(model, flat_l, H_l, W_l)
         solved_l, res = solve(prob_l, plan, cfg)
         if level == 0:
             solved = solved_l

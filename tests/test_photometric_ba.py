@@ -319,3 +319,50 @@ def test_kernel_batched_solver_matches_gather_solver():
     np.testing.assert_allclose(
         np.asarray(p_ref.inv_depth), np.asarray(p_k.inv_depth), atol=2e-4
     )
+
+
+def test_kernel_dense_solver_matches_gather_solver():
+    """densify_problem + make_kernel_dense_solver (slot-major dense
+    assembly, Pallas sampling via interpret on CPU) reproduce the
+    gather-sampler dense solve — the production TPU path of
+    pipeline.pba_refine."""
+    from photometric_bundle_adjustment_tpu.models import synthetic
+    from photometric_bundle_adjustment_tpu.optim import fused
+
+    problem, images_flat, H, W, _, _ = synthetic.synth_pba_problem(
+        K=5, L=96, H=64, W=96, pose_noise=0.01, depth_noise=0.05
+    )
+    images_flat = jnp.asarray(np.asarray(images_flat), jnp.float32)
+    problem = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x,
+        problem,
+    )
+    cfg = ba.BAConfig(max_iterations=5, huber_delta=9.0)
+
+    prob_d, plan = fused.densify_problem(problem)
+
+    solver_ref = pba.make_fused_solver("pinhole", images_flat, H, W)
+    p_ref, r_ref = solver_ref(prob_d, plan, cfg)
+
+    import functools as ft
+
+    import photometric_bundle_adjustment_tpu.ops.patch_sample as psmod
+    orig = psmod.sample_patches_grouped
+    try:
+        psmod.sample_patches_grouped = ft.partial(orig, interpret=True)
+        solver_k = pba.make_kernel_dense_solver(
+            "pinhole", images_flat, H, W, prob_d, 5
+        )
+        p_k, r_k = solver_k(prob_d, plan, cfg)
+    finally:
+        psmod.sample_patches_grouped = orig
+
+    np.testing.assert_allclose(float(r_ref.cost), float(r_k.cost), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(p_ref.cam_states.pose), np.asarray(p_k.cam_states.pose),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_ref.inv_depth), np.asarray(p_k.inv_depth), atol=2e-4
+    )
