@@ -14,13 +14,19 @@ camera lifting so
     gather/scatter formulation this replaced),
   * the lambda dependence of the reduced system is analytic
     (S(lam) = H_cc + lam*diag - S_corr0 / (1 + lam)), so each LM retry costs
-    one dense Cholesky of the (K*C, K*C) system instead of a rebuild.
+    one dense Cholesky of the (K*C, K*C) system instead of a rebuild,
+  * with a DenseLmSchurPlan, the whole assembly is layout-conscious: 2-D
+    flattened Jacobians, slot-major landmark reductions as reshapes, g_c
+    as one-hot matmuls (see build_dense).
 
 Measured on TPU v5e at the reference-scale workload (200 cams, 8k landmarks,
-49k observations): ~4 ms per LM iteration (entry-pair formulation: 7.8 ms;
-scatter path: 15-16 ms) — with matmul precision pinned to float32 (the
-TPU's default bf16-pass matmuls perturb the solve by ~4e-2; pinned, it
-matches the f64 solution to ~1e-4, same as the CPU f32 path).
+49k observations): 3.5 ms per LM step = 288 steps/s (history: scatter path
+15-16 ms, entry-pair 7.8 ms, dense one-hot lift 5.7 ms, + slot-major
+layout 3.9 ms, + bf16x3 Schur Gram 3.5 ms) — with matmul precision pinned
+to float32 (the TPU's default bf16-pass matmuls perturb the solve by
+~4e-2; pinned, it matches the f64 solution to ~1e-4, same as the CPU f32
+path; the optional bf16x3 S_corr0 Gram is separately validated, see
+build_dense).
 
 This replaces the Ceres SPARSE_SCHUR configuration of the reference
 (include/visnav/map_utils.h:377-383) for the latency-critical single-chip
