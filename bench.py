@@ -29,7 +29,8 @@ import json
 import time
 
 
-def build_step(dtype, use_manual_jac: bool, host_plan: bool = False):
+def build_step(dtype, use_manual_jac: bool, host_plan: bool = False,
+               K: int = 200, L: int = 8192):
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +38,7 @@ def build_step(dtype, use_manual_jac: bool, host_plan: bool = False):
     from photometric_bundle_adjustment_tpu.optim import ba, fused
 
     problem, _, _ = synthetic.synth_ba_problem(
-        model="pinhole", K=200, L=8192, obs_per_landmark=6,
+        model="pinhole", K=K, L=L, obs_per_landmark=6,
         pixel_noise=0.3, dtype=dtype,
     )
     # bf16x3 Schur-correction Gram matmul: validated to reproduce the

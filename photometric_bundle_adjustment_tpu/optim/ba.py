@@ -74,6 +74,14 @@ class BAConfig(NamedTuple):
     # fused dense build ("highest" = 6-pass f32 emulation, "high" = 3-pass
     # bf16x3).  Everything else stays pinned at float32/HIGHEST.
     schur_matmul_precision: str = "highest"
+    # fused-cost LM loop (optim.fused only): evaluate each trial point with
+    # a FULL normal-equation build instead of a separate residual pass —
+    # the build's cost doubles as the accept/reject check and its normal
+    # equations are reused for the next iteration on acceptance.  Wins
+    # when residual evaluation is a large fraction of a build (photometric
+    # BA: the residual re-samples every patch, 7.2 of a 16.6 ms build);
+    # loses on retry-heavy problems (a rejected try costs a full build).
+    cost_from_build: bool = False
 
 
 class BAResult(NamedTuple):

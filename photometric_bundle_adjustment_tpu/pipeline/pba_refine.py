@@ -155,9 +155,12 @@ def refine_photometric(
         from photometric_bundle_adjustment_tpu.optim import fused
 
         if jax.default_backend() == "tpu":
-            # slot-major dense assembly + Pallas patch-sampling kernel —
-            # the fastest TPU path (measured 20.2 -> ~17 ms per LM
-            # iteration at EuRoC scale vs the gather sampler + chunk plan)
+            # slot-major dense assembly + Pallas patch-sampling kernel +
+            # fused-cost LM loop — the fastest TPU path (the separate
+            # accept/reject residual pass re-samples every patch, 7.2 ms
+            # of a 24 ms iteration; cost_from_build folds it into the
+            # build)
+            cfg = cfg._replace(cost_from_build=True)
             prob_l, plan = fused.densify_problem(prob_l)
             solve = pba.make_kernel_dense_solver(
                 model, flat_l, H_l, W_l, prob_l, imgs_l.shape[0]

@@ -1,0 +1,25 @@
+"""Smoke test for bench.py — the driver runs it after every round, so a
+bit-rotted bench records nothing.  Exercises both the accelerator-style
+(dense plan, autodiff Jacobians) and CPU-style (host plan, manual
+Jacobians) step builders and the timing harness at toy scale."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+
+@pytest.mark.parametrize("host_plan,manual", [(True, True), (False, False)])
+def test_build_step_and_time_iters(host_plan, manual):
+    import jax.numpy as jnp
+
+    lm_step, problem = bench.build_step(
+        jnp.float32, use_manual_jac=manual, host_plan=host_plan,
+        K=6, L=64,
+    )
+    dt = bench.time_iters(lm_step, problem, iters=3)
+    assert dt > 0.0

@@ -213,3 +213,27 @@ def test_dense_lm_layout_agrees_with_chunk_plan():
     p2, r2 = solver(prob_d, plan_d, ba.BAConfig(max_iterations=5))
     assert _rel(r1.cost, r2.cost) < 1e-5
     assert _rel(p1.cam_states, p2.cam_states) < 1e-4
+
+
+def test_cost_from_build_loop_matches_classic():
+    """The fused-cost LM loop (one build per try, cfg.cost_from_build)
+    reaches the classic loop's solution quality — same final cost to f32
+    noise and equivalent states."""
+    problem = _problem(K=10, L=96, obs_per=5)
+    solver = fused.make_fused_ba_solver(
+        geometric_ba.make_residual_fn("pinhole"), geometric_ba.cam_retract, 6
+    )
+    prob_d, plan = fused.densify_problem(problem)
+
+    cfg_a = ba.BAConfig(max_iterations=15, huber_delta=1.0)
+    cfg_b = cfg_a._replace(cost_from_build=True)
+    p_a, r_a = solver(prob_d, plan, cfg_a)
+    p_b, r_b = solver(prob_d, plan, cfg_b)
+
+    assert float(r_b.initial_cost) == pytest.approx(
+        float(r_a.initial_cost), rel=1e-6
+    )
+    assert float(r_b.cost) == pytest.approx(float(r_a.cost), rel=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(p_a.cam_states), np.asarray(p_b.cam_states), atol=2e-3
+    )
