@@ -694,7 +694,8 @@ def make_kernel_dense_solver(model: str, images_flat: jax.Array,
     orders are bridged by two static permutations applied around the
     sampler only (row gathers of (O, 8) arrays, ~0.1 ms each — measured
     at EuRoC scale: kernel sampling 6.3 ms vs 14.5 ms XLA gathers, full
-    iteration 20.2 -> ~12 ms).
+    build+solve 20.2 -> 17.3 ms; with cfg.cost_from_build the separate
+    7.2 ms accept/reject residual pass also disappears).
 
     The padded image stack is threaded through the jit boundary as an
     ARGUMENT (a closure capture would inline ~hundreds of MB of pixels as
