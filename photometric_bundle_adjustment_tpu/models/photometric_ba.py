@@ -243,19 +243,22 @@ def make_rj_fn(model: str, images_flat: jax.Array, H: int, W: int,
         offs = offsets.astype(dtype)
         uv_patch = aux.uv_ref[None, :] + offs                     # (P, 2)
         d = cameras.unproject_unit(model, aux.intr_ref, uv_patch)  # (P, 3)
-        x = d / rho
         Ra = se3.quat_to_matrix(se3.rotation(cam_a.pose))
         Rc = se3.quat_to_matrix(se3.rotation(cam_c.pose))
         t_a = se3.translation(cam_a.pose)
         t_c = se3.translation(cam_c.pose)
-        p_w = x @ Ra.T + t_a
-        y = (p_w - t_c) @ Rc                                       # (P, 3)
+        # RAY-form warp q = M d + rho u (projection is scale-invariant;
+        # no 1/rho anywhere — stable for near-infinity landmarks, see
+        # geometric_ba.make_residual_fn)
+        M = Rc.T @ Ra
+        u = Rc.T @ (t_a - t_c)
+        q = d @ M.T + rho * u                                      # (P, 3)
 
         def pi(p):
             return cameras.project(model, aux.intr_target, p)
 
-        uv_t = pi(y)
-        Jpi = jax.vmap(jax.jacfwd(pi))(y)                          # (P, 2, 3)
+        uv_t = pi(q)
+        Jpi = jax.vmap(jax.jacfwd(pi))(q)                          # (P, 2, 3)
         if sampler == "tile":
             I_t, gx, gy = _tile_sample_and_grad(
                 images3d, aux.target_img, uv_t, H, W
@@ -273,23 +276,24 @@ def make_rj_fn(model: str, images_flat: jax.Array, H: int, W: int,
         ref_term = aux.ref_patch - b_r
         r = (I_t - b_t) - e * ref_term                              # (P,)
 
-        # dI/dy = g^T Jpi : (P, 3)
+        # dI/dq = g^T Jpi : (P, 3)
         g = jnp.stack([gx, gy], axis=-1)                            # (P, 2)
         dIdy = jnp.einsum("pi,pij->pj", g, Jpi)
 
-        M = Rc.T @ Ra
         eye = jnp.eye(3, dtype=dtype)
-        # per-pixel dpc blocks (P, 3, 13): [dt_a, dphi_a, dt_c, dphi_c, drho]
-        hat_x = se3.hat_so3(x)                                      # (P, 3, 3)
-        hat_y = se3.hat_so3(y)
-        Mb = jnp.broadcast_to(M, (PATCH_SIZE, 3, 3))
+        # per-pixel dq blocks (P, 3, 13): [dt_a, dphi_a, dt_c, dphi_c, drho]
+        # (q = rho p_c: rho times the p_c-form blocks — identical Jacobian
+        # through the scale-invariant projection, no 1/rho)
+        hat_d = se3.hat_so3(d)                                      # (P, 3, 3)
+        hat_q = se3.hat_so3(q)
+        Mb = jnp.broadcast_to(rho * M, (PATCH_SIZE, 3, 3))
         dpc = jnp.concatenate(
             [
                 Mb,
-                -jnp.einsum("ij,pjk->pik", M, hat_x),
-                -jnp.broadcast_to(eye, (PATCH_SIZE, 3, 3)),
-                hat_y,
-                (-(d @ M.T) / (rho * rho))[:, :, None],
+                -jnp.einsum("ij,pjk->pik", M, hat_d),
+                -jnp.broadcast_to(rho * eye, (PATCH_SIZE, 3, 3)),
+                hat_q,
+                jnp.broadcast_to(u, (PATCH_SIZE, 3))[:, :, None],
             ],
             axis=2,
         )                                                           # (P, 3, 13)
@@ -326,9 +330,12 @@ def make_residual_fn(model: str, images_flat: jax.Array, H: int, W: int,
         offs = offsets.astype(rho.dtype)
         uv_patch = aux.uv_ref[None, :] + offs                      # (8, 2)
         dirs = cameras.unproject_unit(model, aux.intr_ref, uv_patch)
-        p_w = se3.act(cam_a.pose, dirs / rho)
-        p_c = se3.act(se3.inverse(cam_c.pose), p_w)
-        uv_t = cameras.project(model, aux.intr_target, p_c)        # (8, 2)
+        # RAY-form warp (see geometric_ba.make_residual_fn)
+        Ra = se3.quat_to_matrix(se3.rotation(cam_a.pose))
+        Rc = se3.quat_to_matrix(se3.rotation(cam_c.pose))
+        u = Rc.T @ (se3.translation(cam_a.pose) - se3.translation(cam_c.pose))
+        q = dirs @ (Rc.T @ Ra).T + rho * u
+        uv_t = cameras.project(model, aux.intr_target, q)          # (8, 2)
         if sampler == "tile":
             I_t, _, _ = _tile_sample_and_grad(
                 images3d, aux.target_img, uv_t, H, W
@@ -571,31 +578,30 @@ def batched_fns_padded(model: str, images_pad, HW, img_of_group,
         offs = offsets.astype(dtype)
         uv_patch = aux.uv_ref[None, :] + offs                     # (P, 2)
         d = cameras.unproject_unit(model, aux.intr_ref, uv_patch)
-        x = d / rho
+        # RAY-form warp q = M d + rho u (see geometric_ba.make_residual_fn)
         Ra = se3.quat_to_matrix(se3.rotation(cam_a.pose))
         Rc = se3.quat_to_matrix(se3.rotation(cam_c.pose))
-        t_a = se3.translation(cam_a.pose)
-        t_c = se3.translation(cam_c.pose)
-        p_w = x @ Ra.T + t_a
-        y = (p_w - t_c) @ Rc
+        M = Rc.T @ Ra
+        u = Rc.T @ (se3.translation(cam_a.pose)
+                    - se3.translation(cam_c.pose))
+        q = d @ M.T + rho * u
 
         def pi(p):
             return cameras.project(model, aux.intr_target, p)
 
-        uv_t = pi(y)
-        Jpi = jax.vmap(jax.jacfwd(pi))(y)                          # (P, 2, 3)
-        M = Rc.T @ Ra
+        uv_t = pi(q)
+        Jpi = jax.vmap(jax.jacfwd(pi))(q)                          # (P, 2, 3)
         eye = jnp.eye(3, dtype=dtype)
-        hat_x = se3.hat_so3(x)
-        hat_y = se3.hat_so3(y)
-        Mb = jnp.broadcast_to(M, (PATCH_SIZE, 3, 3))
+        hat_d = se3.hat_so3(d)
+        hat_q = se3.hat_so3(q)
+        Mb = jnp.broadcast_to(rho * M, (PATCH_SIZE, 3, 3))
         dpc = jnp.concatenate(
             [
                 Mb,
-                -jnp.einsum("ij,pjk->pik", M, hat_x),
-                -jnp.broadcast_to(eye, (PATCH_SIZE, 3, 3)),
-                hat_y,
-                (-(d @ M.T) / (rho * rho))[:, :, None],
+                -jnp.einsum("ij,pjk->pik", M, hat_d),
+                -jnp.broadcast_to(rho * eye, (PATCH_SIZE, 3, 3)),
+                hat_q,
+                jnp.broadcast_to(u, (PATCH_SIZE, 3))[:, :, None],
             ],
             axis=2,
         )                                                          # (P, 3, 13)
@@ -605,9 +611,12 @@ def batched_fns_padded(model: str, images_pad, HW, img_of_group,
         offs = offsets.astype(rho.dtype)
         uv_patch = aux.uv_ref[None, :] + offs
         dirs = cameras.unproject_unit(model, aux.intr_ref, uv_patch)
-        p_w = se3.act(cam_a.pose, dirs / rho)
-        p_c = se3.act(se3.inverse(cam_c.pose), p_w)
-        return cameras.project(model, aux.intr_target, p_c)
+        Ra = se3.quat_to_matrix(se3.rotation(cam_a.pose))
+        Rc = se3.quat_to_matrix(se3.rotation(cam_c.pose))
+        u = Rc.T @ (se3.translation(cam_a.pose)
+                    - se3.translation(cam_c.pose))
+        q = dirs @ (Rc.T @ Ra).T + rho * u
+        return cameras.project(model, aux.intr_target, q)
 
     def sample(uv_t, want_grads: bool):
         """uv_t (O', P, 2) -> (I_t, gx, gy) each (O', P); rows >= Og zero."""
@@ -734,31 +743,30 @@ def make_kernel_dense_solver(model: str, images_flat: jax.Array,
             offs = offsets.astype(dtype)
             uv_patch = aux.uv_ref[None, :] + offs                 # (P, 2)
             d = cameras.unproject_unit(model, aux.intr_ref, uv_patch)
-            x = d / rho
+            # RAY-form warp (see geometric_ba.make_residual_fn)
             Ra = se3.quat_to_matrix(se3.rotation(cam_a.pose))
             Rc = se3.quat_to_matrix(se3.rotation(cam_c.pose))
-            t_a = se3.translation(cam_a.pose)
-            t_c = se3.translation(cam_c.pose)
-            p_w = x @ Ra.T + t_a
-            y = (p_w - t_c) @ Rc
+            M = Rc.T @ Ra
+            u = Rc.T @ (se3.translation(cam_a.pose)
+                        - se3.translation(cam_c.pose))
+            q = d @ M.T + rho * u
 
             def pi(p):
                 return cameras.project(model, aux.intr_target, p)
 
-            uv_t = pi(y)
-            Jpi = jax.vmap(jax.jacfwd(pi))(y)                     # (P, 2, 3)
-            M = Rc.T @ Ra
+            uv_t = pi(q)
+            Jpi = jax.vmap(jax.jacfwd(pi))(q)                     # (P, 2, 3)
             eye = jnp.eye(3, dtype=dtype)
-            hat_x = se3.hat_so3(x)
-            hat_y = se3.hat_so3(y)
-            Mb = jnp.broadcast_to(M, (PATCH_SIZE, 3, 3))
+            hat_d = se3.hat_so3(d)
+            hat_q = se3.hat_so3(q)
+            Mb = jnp.broadcast_to(rho * M, (PATCH_SIZE, 3, 3))
             dpc = jnp.concatenate(
                 [
                     Mb,
-                    -jnp.einsum("ij,pjk->pik", M, hat_x),
-                    -jnp.broadcast_to(eye, (PATCH_SIZE, 3, 3)),
-                    hat_y,
-                    (-(d @ M.T) / (rho * rho))[:, :, None],
+                    -jnp.einsum("ij,pjk->pik", M, hat_d),
+                    -jnp.broadcast_to(rho * eye, (PATCH_SIZE, 3, 3)),
+                    hat_q,
+                    jnp.broadcast_to(u, (PATCH_SIZE, 3))[:, :, None],
                 ],
                 axis=2,
             )                                                     # (P, 3, 13)
@@ -769,9 +777,12 @@ def make_kernel_dense_solver(model: str, images_flat: jax.Array,
             offs = offsets.astype(rho.dtype)
             uv_patch = aux.uv_ref[None, :] + offs
             dirs = cameras.unproject_unit(model, aux.intr_ref, uv_patch)
-            p_w = se3.act(cam_a.pose, dirs / rho)
-            p_c = se3.act(se3.inverse(cam_c.pose), p_w)
-            uv_t = cameras.project(model, aux.intr_target, p_c)
+            Ra = se3.quat_to_matrix(se3.rotation(cam_a.pose))
+            Rc = se3.quat_to_matrix(se3.rotation(cam_c.pose))
+            u = Rc.T @ (se3.translation(cam_a.pose)
+                        - se3.translation(cam_c.pose))
+            q = dirs @ (Rc.T @ Ra).T + rho * u
+            uv_t = cameras.project(model, aux.intr_target, q)
             return uv_t[:, 0], uv_t[:, 1]
 
         def sample(uvx, uvy, want_grads: bool):
