@@ -330,11 +330,13 @@ def make_residual_fn(model: str, images_flat: jax.Array, H: int, W: int,
         offs = offsets.astype(rho.dtype)
         uv_patch = aux.uv_ref[None, :] + offs                      # (8, 2)
         dirs = cameras.unproject_unit(model, aux.intr_ref, uv_patch)
-        # RAY-form warp (see geometric_ba.make_residual_fn)
-        Ra = se3.quat_to_matrix(se3.rotation(cam_a.pose))
-        Rc = se3.quat_to_matrix(se3.rotation(cam_c.pose))
-        u = Rc.T @ (se3.translation(cam_a.pose) - se3.translation(cam_c.pose))
-        q = dirs @ (Rc.T @ Ra).T + rho * u
+        # RAY-form warp via quaternion rotations (see
+        # geometric_ba.make_residual_fn for both the why and the how)
+        qc_inv = se3.quat_conj(se3.rotation(cam_c.pose))
+        t_rel = se3.translation(cam_a.pose) - se3.translation(cam_c.pose)
+        q = se3.quat_rotate(
+            qc_inv, se3.quat_rotate(se3.rotation(cam_a.pose), dirs)
+        ) + rho * se3.quat_rotate(qc_inv, t_rel)
         uv_t = cameras.project(model, aux.intr_target, q)          # (8, 2)
         if sampler == "tile":
             I_t, _, _ = _tile_sample_and_grad(
