@@ -39,6 +39,12 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
+    if str(args.show_gui).lower() in ("true", "1", "yes"):
+        print(
+            "[sfm] --show-gui requested but this app is headless; ignoring. "
+            "Use utils.visualize / apps.evaluate for PNG overlays instead.",
+        )
+
     import jax
 
     if args.device == "cpu":

@@ -10,8 +10,13 @@ similar) with a top-k partial sort.
 The reference only *loads* a prebuilt vocabulary; we also provide
 ``build_vocabulary`` (hierarchical binary k-means with majority-vote
 centroids) so the pipeline is self-contained.  Tree descent is a batched
-device computation (one (N_desc, k) Hamming matrix per level); the inverted
-index is host-side bookkeeping.
+*vectorised host* computation — all N descriptors step down one tree level
+at a time via a padded (nodes, k) children table, one (N, k, 8) XOR-popcount
+per level, no per-descriptor or per-node Python loop.  BoW sits on the
+host side of the pipeline (it gates which pairs are matched); the per-image
+descriptor counts (~1.5k) are far below the size where a device round-trip
+pays for itself, so this deliberately stays NumPy.  The inverted index is
+host-side bookkeeping.
 """
 
 from __future__ import annotations
@@ -42,6 +47,18 @@ class BowVocabulary:
         self.children = children                             # list[list[int]]
         self.leaf_word = np.asarray(leaf_word, np.int32)     # (nodes,) or -1
         self.num_words = int(self.leaf_word.max()) + 1
+        # padded (nodes, k) children table for the vectorised descent
+        k = max((len(c) for c in children), default=1) or 1
+        pad = np.full((len(children), k), -1, np.int64)
+        for n, kids in enumerate(children):
+            pad[n, : len(kids)] = kids
+        self._children_pad = pad
+        # tree depth bound: longest root->leaf chain
+        depth, frontier = 0, [0]
+        while frontier:
+            depth += 1
+            frontier = [c for n in frontier for c in children[n]]
+        self._max_depth = depth
 
     def save(self, path):
         with open(path, "wb") as f:
@@ -58,22 +75,30 @@ class BowVocabulary:
 
     def word_ids(self, desc: np.ndarray) -> np.ndarray:
         """Map (N, 8)-uint32 descriptors to leaf word ids
-        (transformFeatureToWord, bow_voc.h:57-88)."""
+        (transformFeatureToWord, bow_voc.h:57-88).
+
+        Vectorised level-synchronous descent: every descriptor advances one
+        level per step through the padded children table; descriptors that
+        reached a leaf stop (their children row is all -1).
+        """
         desc = np.asarray(desc, np.uint32).reshape(-1, 8)
-        words = np.zeros(len(desc), np.int32)
-        node = np.zeros(len(desc), np.int64)
-        active = np.ones(len(desc), bool)
-        while active.any():
-            for n in np.unique(node[active]):
-                sel = active & (node == n)
-                kids = self.children[n]
-                if not kids:
-                    words[sel] = self.leaf_word[n]
-                    active[sel] = False
-                    continue
-                d = _hamming_np(desc[sel], self.centroids[kids])
-                node[sel] = np.asarray(kids)[d.argmin(1)]
-        return words
+        n = len(desc)
+        if n == 0:
+            return np.zeros(0, np.int32)
+        node = np.zeros(n, np.int64)
+        rows = np.arange(n)
+        for _ in range(self._max_depth):
+            kids = self._children_pad[node]                  # (N, k)
+            has_kids = kids[:, 0] >= 0
+            cent = self.centroids[np.maximum(kids, 0)]        # (N, k, 8)
+            x = cent ^ desc[:, None, :]
+            d = np.unpackbits(
+                x.view(np.uint8).reshape(n, kids.shape[1], 32), axis=-1
+            ).sum(-1)
+            d = np.where(kids >= 0, d, 1 << 30)
+            nxt = kids[rows, d.argmin(1)]
+            node = np.where(has_kids, nxt, node)
+        return self.leaf_word[node].astype(np.int32)
 
     def transform(self, desc: np.ndarray) -> dict:
         """Image -> L1-normalised sparse word vector {word: weight}
@@ -136,6 +161,7 @@ class BowDatabase:
     trick (BowDatabase::{insert, query}, bow_db.h:49-124)."""
 
     def __init__(self, num_words: int):
+        self.num_words = int(num_words)
         self.index: dict = {}
 
     def clear(self):
@@ -143,6 +169,10 @@ class BowDatabase:
 
     def insert(self, fcid, bow_vector: dict):
         for w, v in bow_vector.items():
+            if not 0 <= w < self.num_words:
+                raise ValueError(
+                    f"word id {w} outside vocabulary of {self.num_words} words"
+                )
             self.index.setdefault(w, []).append((fcid, v))
 
     def query(self, bow_vector: dict, num_results: int):

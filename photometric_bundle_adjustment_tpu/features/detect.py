@@ -10,8 +10,11 @@ with a validity mask) so the whole front-end jits.
 
 The greedy min-distance NMS of OpenCV is replaced by window NMS (a corner
 survives iff it is the maximum of its (2r+1)^2 neighbourhood with
-r = min_distance) — the TPU-friendly equivalent with near-identical
-selection behaviour, followed by score-ordered top-k.
+r = min_distance // 2) followed by score-ordered top-k.  Measured
+selection overlap against cv2.goodFeaturesToTrack on a real EuRoC frame
+(tests/test_features.py::test_detect_overlap_vs_opencv): 91% of OpenCV's
+corners have one of ours within 2 px, and 100% of our corners lie within
+8 px (= min_distance) of an OpenCV corner.
 """
 
 from __future__ import annotations

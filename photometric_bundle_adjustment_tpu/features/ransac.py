@@ -28,10 +28,19 @@ from photometric_bundle_adjustment_tpu.features import geometry
 from photometric_bundle_adjustment_tpu.optim import LMConfig, lm_solve
 
 
-def _sample_indices(key, num_hyp, sample_size, count):
-    """(num_hyp, sample_size) random indices in [0, count)."""
-    u = jax.random.uniform(key, (num_hyp, sample_size))
-    return (u * count.astype(u.dtype)).astype(jnp.int32) % jnp.maximum(count, 1)
+def _sample_indices(key, num_hyp, sample_size, valid):
+    """(num_hyp, sample_size) random indices into rows where ``valid``.
+
+    Indices are distinct *within* each minimal sample (duplicate draws
+    produce rank-deficient hypotheses that silently waste budget): each
+    hypothesis assigns an i.i.d. uniform score to every valid row and
+    takes the top-``sample_size`` — a batched Fisher-Yates equivalent
+    that stays one fused (H, M) op on device.
+    """
+    u = jax.random.uniform(key, (num_hyp, valid.shape[0]))
+    u = jnp.where(valid[None, :], u, -1.0)  # invalid rows lose top_k
+    _, idx = jax.lax.top_k(u, sample_size)
+    return idx.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -64,12 +73,8 @@ def ransac_relative_pose(
     """
     M = bearings0.shape[0]
     dtype = bearings0.dtype
-    count = jnp.sum(valid.astype(jnp.int32))
 
-    idx = _sample_indices(key, num_hypotheses, 8, count)
-    # map sample slots to valid rows: valid rows first via argsort
-    order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
-    idx = order[idx]  # (H, 8)
+    idx = _sample_indices(key, num_hypotheses, 8, valid)  # (H, 8)
 
     f0s = bearings0[idx]  # (H, 8, 3)
     f1s = bearings1[idx]
@@ -202,9 +207,7 @@ def ransac_pnp(
     """
     dtype = bearings.dtype
     threshold = 1.0 - jnp.cos(jnp.arctan(pixel_threshold / 500.0))
-    count = jnp.sum(valid.astype(jnp.int32))
-    order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
-    idx = order[_sample_indices(key, num_hypotheses, 6, count)]
+    idx = _sample_indices(key, num_hypotheses, 6, valid)
 
     T_cands = jax.vmap(_dlt_pnp)(bearings[idx], points_w[idx])  # (H, 7) T_c_w
 

@@ -1,5 +1,12 @@
 """Bisect the slot-major dense fused build (optim/fused.py build_dense)
-via early returns — piece timings on device at bench scale."""
+via early returns — piece timings on device at bench scale.
+
+NOTE: the staged pieces inside ``upto`` deliberately mirror
+optim/fused.py ``build_dense`` (as of the slot-major layout, commit
+"slot-major landmark-dense layout") so that each early return times a
+prefix of the real build.  If ``build_dense`` changes, re-sync this file
+or the stage timings stop corresponding to production code.
+"""
 import jax
 import jax.numpy as jnp
 
@@ -13,15 +20,15 @@ from scripts.devtime import devtime
 enable_compilation_cache()
 print("backend:", jax.default_backend())
 
+K, L = 200, 8192
 problem, _, _ = synthetic.synth_ba_problem(
-    model="pinhole", K=200, L=8192, obs_per_landmark=6, pixel_noise=0.3,
+    model="pinhole", K=K, L=L, obs_per_landmark=6, pixel_noise=0.3,
     dtype=jnp.float32,
 )
 cfg = ba.BAConfig(max_iterations=1, huber_delta=1.0,
                   schur_matmul_precision="high")
 residual_fn = geometric_ba.make_residual_fn("pinhole")
-rj_fn = None
-C, K, L = 6, 200, 8192
+C = 6  # per-camera tangent dim (SE3)
 dtype = jnp.float32
 problem, plan = fused.densify_problem(problem, pow2_buckets=False)
 solver = fused.make_fused_ba_solver(residual_fn, geometric_ba.cam_retract, C)
