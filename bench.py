@@ -1,6 +1,12 @@
 """Benchmark: bundle-adjustment LM iterations/s on a EuRoC-scale problem.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric {"metric", "value", "unit", "vs_baseline"};
+the LAST line is the headline geometric-BA metric (kept last so drivers
+that parse a single trailing line keep tracking the same series).  The
+preceding line reports the flagship photometric kernel-dense LM iteration
+(models/photometric_ba.make_kernel_dense_solver — Pallas patch sampling +
+slot-major dense Schur assembly) at EuRoC scale (164 cams, 4.8k landmarks,
+24k 8-pixel patch observations, 480x752 images).
 
 The problem matches the reference's headline workload shape (SURVEY §6):
 ~200 cameras, ~8k inverse-depth landmarks, ~50k observations, Huber-robust
@@ -78,6 +84,49 @@ def build_step(dtype, use_manual_jac: bool, host_plan: bool = False,
     return lm_step, problem
 
 
+def build_pba_step(dtype, use_kernel: bool, **scale):
+    """Photometric kernel-dense LM step at EuRoC scale.
+
+    ``use_kernel``: route image sampling through the Pallas patch kernel
+    (TPU); False uses the XLA gather sampler (the production CPU path —
+    the two agree to 1e-4, tests/test_photometric_ba.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from photometric_bundle_adjustment_tpu.models import photometric_ba as pba
+    from photometric_bundle_adjustment_tpu.optim import ba, fused
+    from scripts.profile_pba import build_euroc_scale_pba
+
+    problem, images_flat, H, W = build_euroc_scale_pba(dtype=dtype, **scale)
+    cfg = ba.BAConfig(max_iterations=1, huber_delta=9.0,
+                      schur_matmul_precision="high")
+    problem, plan = fused.densify_problem(problem, pow2_buckets=False)
+    n_images = problem.cam_states.pose.shape[0]
+
+    if use_kernel:
+        outer = pba.make_kernel_dense_solver(
+            "pinhole", images_flat, H, W, problem, n_images
+        )
+        solver = outer.make_inner(outer.images_pad)
+    else:
+        solver = pba.make_fused_solver("pinhole", images_flat, H, W)
+
+    def lm_step(problem):
+        with jax.default_matmul_precision("float32"):
+            cost, neq = solver.build(problem, plan, cfg)
+            dc, dp = solver.solve_lam(
+                neq, plan, jnp.asarray(1e-4, problem.inv_depth.dtype),
+                ~problem.fixed_cams, cfg,
+            )
+            new_cams = jax.vmap(pba.cam_retract)(problem.cam_states, dc)
+            return problem._replace(
+                cam_states=new_cams, inv_depth=problem.inv_depth + dp
+            ), cost
+
+    return lm_step, problem
+
+
 def time_iters(lm_step, problem, iters: int) -> float:
     """Seconds per LM iteration, measured on device (see module docstring)."""
     import jax
@@ -126,6 +175,8 @@ def _cpu_baseline_main():
         jnp.float32, use_manual_jac=True, host_plan=True
     )
     print("CPU_DT", time_iters(lm_step, problem, 8))
+    pba_step, pba_problem = build_pba_step(jnp.float32, use_kernel=False)
+    print("CPU_PBA_DT", time_iters(pba_step, pba_problem, 4))
 
 
 def main():
@@ -150,17 +201,35 @@ def main():
     dt = time_iters(lm_step, problem, 50 if backend != "cpu" else 8)
     iters_per_s = 1.0 / dt
 
+    pba_step, pba_problem = build_pba_step(
+        jnp.float32, use_kernel=(backend != "cpu")
+    )
+    dt_pba = time_iters(pba_step, pba_problem, 30 if backend != "cpu" else 4)
+
     if backend == "cpu":
-        dt_cpu = dt
+        dt_cpu, dt_pba_cpu = dt, dt_pba
     else:
         env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_CPU_BASELINE="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=1800,
+            env=env, capture_output=True, text=True, timeout=3600,
         )
         m = re.search(r"CPU_DT ([0-9.eE+-]+)", out.stdout)
         dt_cpu = float(m.group(1)) if m else float("nan")
+        m = re.search(r"CPU_PBA_DT ([0-9.eE+-]+)", out.stdout)
+        dt_pba_cpu = float(m.group(1)) if m else float("nan")
 
+    print(
+        json.dumps(
+            {
+                "metric": f"pba_lm_iters_per_s_{backend}",
+                "value": round(1.0 / dt_pba, 3),
+                "unit": "iters/s",
+                "vs_baseline": round(dt_pba_cpu / dt_pba, 3),
+            }
+        )
+    )
+    # headline metric LAST (single-trailing-line parsers track this series)
     print(
         json.dumps(
             {

@@ -1,0 +1,266 @@
+"""Batched Nister 5-point minimal essential-matrix solver, TPU-first.
+
+Replaces the reference's OpenGV ``NISTER`` sequential RANSAC sampler
+(include/visnav/matching_utils.h:111-124) with a formulation where EVERY
+step is a fixed-shape batched tensor operation, so hundreds of minimal
+samples are solved simultaneously under vmap/jit (and the polynomial
+root-finding needs no ``eig``, which XLA does not provide on TPU):
+
+1. nullspace: SVD of the 5x9 epipolar constraint matrix -> basis
+   E = x*E1 + y*E2 + z*E3 + E4  (w normalised to 1).
+2. the 10 cubic constraints (det(E) = 0 and the trace condition
+   2*E*E^T*E - tr(E*E^T)*E = 0) are expanded over fixed monomial bases by
+   two constant sparse product tensors (linear x linear -> quadratic,
+   quadratic x linear -> cubic); no symbolic algebra at runtime.
+3. Gauss-Jordan elimination of the leading 10 monomials (one 10x10
+   solve), then Nister's three compatibility rows give a 3x3 matrix B(z)
+   with polynomial entries whose determinant is the degree-10 polynomial.
+4. real roots of the degree-10 polynomial: the projective substitution
+   z = tan(theta) turns the real line into a bounded interval; the
+   polynomial is evaluated HOMOGENEOUSLY (sum a_k sin^k cos^(10-k), no
+   overflow), sign changes on a fixed theta-grid are refined by a fixed
+   number of bisection steps.  Fixed shapes: up to 10 root slots with a
+   validity mask.
+5. x, y for each root from the 3x2 least-squares system B(z)[x y 1]^T=0.
+
+Everything is f64-recommended (the reduced system is ill-conditioned in
+f32; tests pin f64 on CPU), but the module is dtype-generic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# monomial bases and constant product tensors
+# ---------------------------------------------------------------------------
+
+_LIN = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)]  # [x, y, z, 1]
+_QUAD = [
+    (2, 0, 0), (1, 1, 0), (1, 0, 1), (1, 0, 0),
+    (0, 2, 0), (0, 1, 1), (0, 1, 0),
+    (0, 0, 2), (0, 0, 1), (0, 0, 0),
+]
+# cubic basis in the Gauss-Jordan order: leading block L then trailing v
+# L = [x^3, y^3, x^2 y, x y^2, x^2 z, x^2, y^2 z, y^2, x y z, x y]
+# v = [x z^2, x z, x, y z^2, y z, y, z^3, z^2, z, 1]
+_CUBIC = [
+    (3, 0, 0), (0, 3, 0), (2, 1, 0), (1, 2, 0), (2, 0, 1),
+    (2, 0, 0), (0, 2, 1), (0, 2, 0), (1, 1, 1), (1, 1, 0),
+    (1, 0, 2), (1, 0, 1), (1, 0, 0), (0, 1, 2), (0, 1, 1),
+    (0, 1, 0), (0, 0, 3), (0, 0, 2), (0, 0, 1), (0, 0, 0),
+]
+_QIDX = {m: i for i, m in enumerate(_QUAD)}
+_CIDX = {m: i for i, m in enumerate(_CUBIC)}
+
+
+def _product_tensors():
+    M_llq = np.zeros((4, 4, 10))
+    for i, a in enumerate(_LIN):
+        for j, b in enumerate(_LIN):
+            m = tuple(x + y for x, y in zip(a, b))
+            M_llq[i, j, _QIDX[m]] = 1.0
+    M_qlc = np.zeros((10, 4, 20))
+    for i, a in enumerate(_QUAD):
+        for j, b in enumerate(_LIN):
+            m = tuple(x + y for x, y in zip(a, b))
+            M_qlc[i, j, _CIDX[m]] = 1.0
+    return M_llq, M_qlc
+
+
+_M_LLQ, _M_QLC = _product_tensors()
+
+
+def _ll(a, b, dtype):
+    """linear (.., 4) x linear (.., 4) -> quadratic (.., 10)."""
+    return jnp.einsum("...i,...j,ijk->...k", a, b,
+                      jnp.asarray(_M_LLQ, dtype))
+
+
+def _ql(q, l, dtype):
+    """quadratic (.., 10) x linear (.., 4) -> cubic (.., 20)."""
+    return jnp.einsum("...i,...j,ijk->...k", q, l,
+                      jnp.asarray(_M_QLC, dtype))
+
+
+# ---------------------------------------------------------------------------
+# constraint matrix
+# ---------------------------------------------------------------------------
+
+
+def _constraint_matrix(Ebasis):
+    """Ebasis: (4, 3, 3) nullspace basis [E1, E2, E3, E4].
+
+    Returns the (10, 20) coefficient matrix of the 10 cubic constraints
+    over the ``_CUBIC`` monomial basis.
+    """
+    dtype = Ebasis.dtype
+    # E entry (i, j) as linear polynomial coeff vector over [x, y, z, 1]
+    Elin = jnp.transpose(Ebasis, (1, 2, 0))  # (3, 3, 4)
+
+    # P = E E^T (quadratic), P_ij = sum_k E_ik E_jk
+    P = jnp.einsum(
+        "ika,jkb,abq->ijq", Elin, Elin, jnp.asarray(_M_LLQ, dtype)
+    )  # (3, 3, 10)
+    trace = P[0, 0] + P[1, 1] + P[2, 2]  # (10,)
+
+    # C = P E (cubic): C_il = sum_j P_ij E_jl
+    C = jnp.einsum(
+        "ijq,jla,qac->ilc", P, Elin, jnp.asarray(_M_QLC, dtype)
+    )  # (3, 3, 20)
+    trE = _ql(jnp.broadcast_to(trace, (3, 3, 10)), Elin, dtype)
+    trace_rows = (2.0 * C - trE).reshape(9, 20)
+
+    # det(E) cubic: expansion along the first row
+    def minor(r0, r1, c0, c1):
+        return (_ll(Elin[r0, c0], Elin[r1, c1], dtype)
+                - _ll(Elin[r0, c1], Elin[r1, c0], dtype))
+
+    det = (_ql(minor(1, 2, 1, 2), Elin[0, 0], dtype)
+           - _ql(minor(1, 2, 0, 2), Elin[0, 1], dtype)
+           + _ql(minor(1, 2, 0, 1), Elin[0, 2], dtype))
+
+    return jnp.concatenate([det[None, :], trace_rows], axis=0)  # (10, 20)
+
+
+# ---------------------------------------------------------------------------
+# degree-10 polynomial and roots
+# ---------------------------------------------------------------------------
+
+
+def _action_polynomials(A):
+    """A: (10, 20) constraint matrix.  Returns the 3x3 polynomial matrix
+    B(z) as (Bxy (3, 2, 4), Bc (3, 5)) — column coefficients in DESCENDING
+    powers — and the degree-10 determinant coefficients (11,) descending.
+    """
+    A1, A2 = A[:, :10], A[:, 10:]
+    X = jnp.linalg.solve(A1, A2)  # (10, 10)
+    # one iterative-refinement step: the elimination is the f32 accuracy
+    # bottleneck (median candidate error 8e-5 -> the refined residual is
+    # what the RANSAC scoring sees); costs one extra triangular solve
+    X = X + jnp.linalg.solve(A1, A2 - A1 @ X)
+
+    # leading-monomial indices in L: x^2=5, x^2 z=4; y^2=7, y^2 z=6;
+    # x y=9, x y z=8.  Row for pair (m, mz): z*expr(m) - expr(mz) = 0.
+    def row(m, mz):
+        c, d = -X[m], -X[mz]
+        bx = jnp.stack([c[0], c[1] - d[0], c[2] - d[1], -d[2]])
+        by = jnp.stack([c[3], c[4] - d[3], c[5] - d[4], -d[5]])
+        bc = jnp.stack(
+            [c[6], c[7] - d[6], c[8] - d[7], c[9] - d[8], -d[9]]
+        )
+        return bx, by, bc
+
+    rows = [row(5, 4), row(7, 6), row(9, 8)]
+    Bx = jnp.stack([r[0] for r in rows])  # (3, 4)
+    By = jnp.stack([r[1] for r in rows])  # (3, 4)
+    Bc = jnp.stack([r[2] for r in rows])  # (3, 5)
+
+    def conv(a, b):
+        return jnp.convolve(a, b)
+
+    # det expansion along the x-column
+    def minor(r1, r2):
+        return conv(By[r1], Bc[r2]) - conv(By[r2], Bc[r1])  # (8,)
+
+    det = (conv(Bx[0], minor(1, 2))
+           - conv(Bx[1], minor(0, 2))
+           + conv(Bx[2], minor(0, 1)))  # (11,) descending z^10 .. z^0
+
+    return jnp.stack([Bx, By], axis=1), Bc, det
+
+
+def _eval_homog(coeffs, s, c):
+    """Evaluate sum coeffs[i] z^(D-i) homogeneously at z = s/c:
+    returns sum coeffs[i] s^(D-i) c^i  (= value * c^D, same sign for c>0).
+    coeffs: (..., D+1) descending; s, c: (...,).
+    """
+    D = coeffs.shape[-1] - 1
+    k = jnp.arange(D, -1, -1)
+    return jnp.sum(
+        coeffs * (s[..., None] ** k) * (c[..., None] ** (D - k)), axis=-1
+    )
+
+
+def _real_roots_deg10(det, n_grid=512, n_bisect=48):
+    """Up to 10 real roots of the degree-10 polynomial (coeffs descending).
+
+    Returns (roots (10,), valid (10,)).  Projective theta-grid + bisection;
+    fully fixed-shape.
+    """
+    dtype = det.dtype
+    scale = jnp.max(jnp.abs(det))
+    det = det / jnp.maximum(scale, jnp.finfo(dtype).tiny)
+
+    theta = jnp.linspace(-np.pi / 2, np.pi / 2, n_grid,
+                         dtype=dtype)[1:-1]
+    q = _eval_homog(det, jnp.sin(theta), jnp.cos(theta))
+    change = (q[:-1] * q[1:]) < 0.0  # (n_grid - 3,)
+    n = change.shape[0]
+    score = change.astype(dtype) * (2.0 * n - jnp.arange(n, dtype=dtype))
+    top, idx = jax.lax.top_k(score, 10)
+    valid = top > 0.0
+    lo = theta[idx]
+    hi = theta[idx + 1]
+    qlo = q[idx]
+
+    def body(_, state):
+        lo, hi, qlo = state
+        mid = 0.5 * (lo + hi)
+        qm = _eval_homog(det, jnp.sin(mid), jnp.cos(mid))
+        left = (qlo * qm) > 0.0
+        return (jnp.where(left, mid, lo), jnp.where(left, hi, mid),
+                jnp.where(left, qm, qlo))
+
+    lo, hi, _ = jax.lax.fori_loop(0, n_bisect, body, (lo, hi, qlo))
+    roots = jnp.tan(0.5 * (lo + hi))
+    return roots, valid
+
+
+# ---------------------------------------------------------------------------
+# public solver
+# ---------------------------------------------------------------------------
+
+
+def five_point_candidates(f0: jax.Array, f1: jax.Array):
+    """Essential-matrix candidates from 5 bearing correspondences.
+
+    Args:
+      f0, f1: (5, 3) unit bearings with f0^T E f1 = 0.
+
+    Returns:
+      Es: (10, 3, 3) candidate essential matrices (Frobenius-normalised).
+      valid: (10,) bool — real-root slots actually found.
+
+    vmap over a leading hypothesis axis to solve many samples at once.
+    """
+    dtype = f0.dtype
+    Q = jnp.einsum("ni,nj->nij", f0, f1).reshape(5, 9)
+    _, _, Vt = jnp.linalg.svd(Q, full_matrices=True)
+    Ebasis = Vt[5:9][::-1].reshape(4, 3, 3)  # [E1, E2, E3, E4], E4 smallest
+
+    A = _constraint_matrix(Ebasis)
+    Bxy, Bc, det = _action_polynomials(A)
+    roots, valid = _real_roots_deg10(det)
+
+    def e_of_root(z):
+        s = z / jnp.sqrt(1.0 + z * z)
+        c = 1.0 / jnp.sqrt(1.0 + z * z)
+        # rows scaled by c^4: [c * Bx_h, c * By_h, Bc_h]
+        gxy = _eval_homog(Bxy, s[None, None], c[None, None])  # (3, 2)
+        gc = _eval_homog(Bc, s[None], c[None])                # (3,)
+        G = gxy * c
+        # least-squares for [x, y]: 2x2 normal equations
+        H = G.T @ G + jnp.finfo(dtype).tiny * jnp.eye(2, dtype=dtype)
+        xy = jnp.linalg.solve(H, -G.T @ gc)
+        E = (xy[0] * Ebasis[0] + xy[1] * Ebasis[1]
+             + z * Ebasis[2] + Ebasis[3])
+        nrm = jnp.linalg.norm(E)
+        return E / jnp.maximum(nrm, jnp.finfo(dtype).tiny)
+
+    Es = jax.vmap(e_of_root)(roots)
+    finite = jnp.all(jnp.isfinite(Es.reshape(10, 9)), axis=-1)
+    return jnp.where(finite[:, None, None], Es, 0.0), valid & finite

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from photometric_bundle_adjustment_tpu.core import se3
-from photometric_bundle_adjustment_tpu.features import geometry
+from photometric_bundle_adjustment_tpu.features import geometry, nister
 from photometric_bundle_adjustment_tpu.optim import LMConfig, lm_solve
 
 
@@ -53,7 +53,7 @@ def _pose_from_Rt(R, t, dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_hypotheses", "refine_iters")
+    jax.jit, static_argnames=("num_hypotheses", "refine_iters", "solver")
 )
 def ransac_relative_pose(
     bearings0: jax.Array,     # (M, 3) unit bearings, image 0
@@ -64,26 +64,54 @@ def ransac_relative_pose(
     min_inliers: int = 16,    # sfm.cpp:205-206
     num_hypotheses: int = 128,
     refine_iters: int = 10,
+    solver: str = "nister",
 ):
     """Returns (T_0_1 (7,), inlier_mask (M,), num_inliers).
 
     ``inlier_mask`` is all-False when the count is not > min_inliers
     (findInliersRansac leaves inliers empty, matching_utils.h:132).
     Translation is normalised to unit length (matching_utils.h:128-131).
+
+    ``solver``: "nister" (default — the reference's 5-point minimal solver,
+    matching_utils.h:111-124, batched re-design in features/nister.py) or
+    "eight_point" (needs 8 clean correspondences per sample; kept as the
+    cheaper fallback).  The Nister path draws 5-point samples, solves all
+    of them simultaneously (up to 10 essential candidates each), prescreens
+    every candidate by algebraic epipolar inlier count — one MXU einsum
+    over (candidates x matches), threshold 1e-3 as in the reference's
+    stereo epipolar test (matching_utils.h:62-79) — and decomposes only
+    the top 8 candidates into poses for the full angular scoring.
     """
     M = bearings0.shape[0]
     dtype = bearings0.dtype
 
-    idx = _sample_indices(key, num_hypotheses, 8, valid)  # (H, 8)
-
-    f0s = bearings0[idx]  # (H, 8, 3)
-    f1s = bearings1[idx]
-
-    Es = jax.vmap(geometry.eight_point)(f0s, f1s)          # (H, 3, 3)
-    Rs, ts = jax.vmap(geometry.decompose_essential)(Es)    # (H, 4, 3, 3), (H, 4, 3)
-    poses = jax.vmap(
-        jax.vmap(lambda R, t: _pose_from_Rt(R, t, dtype))
-    )(Rs, ts).reshape(num_hypotheses * 4, 7)
+    if solver == "nister":
+        idx = _sample_indices(key, num_hypotheses, 5, valid)  # (H, 5)
+        Es, evalid = jax.vmap(nister.five_point_candidates)(
+            bearings0[idx], bearings1[idx]
+        )                                            # (H, 10, 3, 3), (H, 10)
+        EsF = Es.reshape(-1, 3, 3)
+        alg = jnp.abs(
+            jnp.einsum("mi,hij,mj->hm", bearings0, EsF, bearings1)
+        )
+        cnt = jnp.sum((alg <= 1e-3) & valid[None, :], axis=-1)
+        cnt = jnp.where(evalid.reshape(-1), cnt, -1)
+        _, top = jax.lax.top_k(cnt, 8)
+        Rs, ts = jax.vmap(geometry.decompose_essential)(EsF[top])
+        poses = jax.vmap(
+            jax.vmap(lambda R, t: _pose_from_Rt(R, t, dtype))
+        )(Rs, ts).reshape(8 * 4, 7)
+    elif solver == "eight_point":
+        idx = _sample_indices(key, num_hypotheses, 8, valid)  # (H, 8)
+        Es = jax.vmap(geometry.eight_point)(
+            bearings0[idx], bearings1[idx]
+        )                                                     # (H, 3, 3)
+        Rs, ts = jax.vmap(geometry.decompose_essential)(Es)
+        poses = jax.vmap(
+            jax.vmap(lambda R, t: _pose_from_Rt(R, t, dtype))
+        )(Rs, ts).reshape(num_hypotheses * 4, 7)
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
 
     def score(pose):
         err = geometry.reprojection_angle_error(bearings0, bearings1, pose)

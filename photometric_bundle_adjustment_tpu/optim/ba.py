@@ -74,6 +74,12 @@ class BAConfig(NamedTuple):
     # fused dense build ("highest" = 6-pass f32 emulation, "high" = 3-pass
     # bf16x3).  Everything else stays pinned at float32/HIGHEST.
     schur_matmul_precision: str = "highest"
+    # skip the dense S_corr0 = Mw^T M Gram matmul in the fused builds: the
+    # camera-partitioned distributed solve (parallel.dist_fused) applies
+    # the Schur correction matrix-free inside CG and never needs the
+    # materialised (KC x KC) product — at large K the Gram matmul is the
+    # dominant build cost, so the partitioned path must not pay it.
+    skip_schur_gram: bool = False
     # fused-cost LM loop (optim.fused only): evaluate each trial point with
     # a FULL normal-equation build instead of a separate residual pass —
     # the build's cost doubles as the accept/reject check and its normal

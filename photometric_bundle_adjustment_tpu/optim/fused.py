@@ -387,10 +387,13 @@ def _make_dense_fused_ba_solver(
         # count; final pose params within 1.3e-5, inverse depths within
         # 5e-7) while halving the matmul passes (~0.4 ms at bench scale).
         Mw = M * inv0[:, None]
-        prec = (jax.lax.Precision.HIGH
-                if cfg.schur_matmul_precision == "high"
-                else jax.lax.Precision.HIGHEST)
-        S_corr0 = jax.lax.dot(Mw.T, M, precision=prec)  # (K*C, K*C)
+        if cfg.skip_schur_gram:
+            S_corr0 = None  # applied matrix-free by the partitioned solver
+        else:
+            prec = (jax.lax.Precision.HIGH
+                    if cfg.schur_matmul_precision == "high"
+                    else jax.lax.Precision.HIGHEST)
+            S_corr0 = jax.lax.dot(Mw.T, M, precision=prec)  # (K*C, K*C)
         rhs_corr0 = Mw.T @ g_p      # (K*C,)
 
         H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C, K * C)
@@ -455,7 +458,7 @@ def _make_dense_fused_ba_solver(
 
         # Schur correction and rhs correction as dense MXU products
         Mw = M * inv0[:, None]
-        S_corr0 = Mw.T @ M          # (K*C, K*C)
+        S_corr0 = None if cfg.skip_schur_gram else Mw.T @ M  # (K*C, K*C)
         rhs_corr0 = Mw.T @ g_p      # (K*C,)
 
         H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C, K * C)

@@ -243,13 +243,41 @@ def prepare(problem: ba.BAProblem, mesh: Mesh,
 
 
 def make_distributed_fused_solver(
-    residual_fn, cam_retract, cam_tangent_dim, mesh: Mesh, rj_fn=None
+    residual_fn, cam_retract, cam_tangent_dim, mesh: Mesh, rj_fn=None,
+    camera_partition: bool = False, n_cg: int = 200, cg_tol: float = 1e-12,
 ):
     """Returns solve(sharded: ShardedFusedProblem, cfg) -> (problem, BAResult).
 
     The entire LM loop runs as one shard_map program; collectives per
     normal-equation build: one psum of (cost, H_cc, S_corr0, rhs_corr0,
     g_c); per cost evaluation: one psum of the scalar cost.
+
+    ``camera_partition=True`` switches the reduced-camera-system solve from
+    the replicated dense Cholesky to a CAMERA-ROW-PARTITIONED conjugate
+    gradient (SURVEY §7 step 7 model parallelism; the distributed analog of
+    Ceres SPARSE_SCHUR's reduced solve, map_utils.h:377-383):
+
+      * the (KC x KC) reduced matrix is never assembled replicated — each
+        device owns a KC/D row slice via one ``psum_scatter`` of its local
+        Gram contribution, and the Schur correction S_corr0 is never
+        materialised at all: its action  M^T diag(inv_hpp/(1+lam)) M v
+        is evaluated matrix-free against the LANDMARK-SHARDED M each CG
+        step (the local M_d is exactly what the fused build already has);
+      * CG state (x, r, p, z) lives camera-row-sharded; per iteration the
+        collectives are one ``all_gather`` of the search direction (KC
+        floats), one ``psum_scatter`` of the Schur matvec and two scalar
+        ``psum`` dot products — all O(KC), independent of landmarks;
+      * preconditioner: exact block-Jacobi of S(lam) — the C x C diagonal
+        blocks including the Schur-correction diagonal (one small psum of
+        a (K, C, C) einsum over local M rows at build time);
+      * per-device memory for the reduced system drops from O(K^2 C^2)
+        (replicated factor) to O(K^2 C^2 / D) rows (the O(K^2 C^2)
+        assembly transient remains; chunked assembly+scatter can remove it
+        when K grows past ~4k).
+
+    ``n_cg`` bounds CG iterations; the loop exits early at relative
+    residual ``cg_tol``.  LM is robust to the slightly inexact step (the
+    accept/reject check still guards every update).
     """
     try:
         from jax import shard_map as _sm
@@ -325,12 +353,149 @@ def make_distributed_fused_solver(
                 )
                 return cost, (H_cc, S0, rhs0, H_pp, g_c, g_p, M, inv0)
 
+            C_ = cam_tangent_dim
+            K = sharded.problem.fixed_cams.shape[0]
+            Kp = ((K + D - 1) // D) * D       # camera-granular row padding
+            KpD = Kp // D                      # cameras per device row-slice
+            KC, KCp = K * C_, Kp * C_
+
+            def build_part(p):
+                """Partitioned build: local Gram rows scattered to the
+                owning device, Schur correction left as (M, inv0) for
+                matrix-free application; no (KC x KC) product anywhere."""
+                cfg_p = cfg._replace(skip_schur_gram=True)
+                cost, neq = solver.build(p, plan, cfg_p)
+                H_cc_mat, _, rhs_corr0, H_pp, g_c, g_p, M, inv0 = neq
+                cost, g_c, rhs_corr0 = jax.lax.psum(
+                    (cost, g_c, rhs_corr0), DATA_AXIS
+                )
+                d_cc = jax.lax.psum(jnp.diagonal(H_cc_mat), DATA_AXIS)
+                # exact Schur-correction diagonal blocks (K, C, C)
+                Mb = M.reshape(-1, K, C_)
+                Sdiag = jax.lax.psum(
+                    jnp.einsum("lkc,l,lkd->kcd", Mb, inv0, Mb), DATA_AXIS
+                )
+                H_pad = jnp.zeros((KCp, KCp), H_cc_mat.dtype)
+                H_pad = H_pad.at[:KC, :KC].set(H_cc_mat)
+                H_rows = jax.lax.psum_scatter(
+                    H_pad, DATA_AXIS, scatter_dimension=0, tiled=True
+                )                                # (KpD*C, KCp)
+                return cost, (H_rows, rhs_corr0, H_pp, g_c, g_p, M, inv0,
+                              Sdiag, d_cc)
+
+            def solve_lam_part(neqp, lam):
+                """Camera-row-partitioned PCG on the reduced system
+                S(lam) x = rhs; returns (delta_c (K, C) replicated,
+                delta_p shard-local)."""
+                (H_rows, rhs_corr0, H_pp, g_c, g_p, M, inv0, Sdiag,
+                 d_cc) = neqp
+                dtype = g_c.dtype
+                didx = jax.lax.axis_index(DATA_AXIS)
+                row0 = didx * (KpD * C_)
+
+                maskK = jnp.zeros(Kp, dtype).at[:K].set(free.astype(dtype))
+                maskp = jnp.repeat(maskK, C_)             # (KCp,)
+                mask_loc = jax.lax.dynamic_slice(
+                    maskp, (row0,), (KpD * C_,)
+                )
+                d_cl = jnp.clip(d_cc, 1e-12, 1e32)
+                d_pad = jnp.zeros(KCp, dtype).at[:KC].set(d_cl)
+                d_loc = jax.lax.dynamic_slice(d_pad, (row0,), (KpD * C_,))
+
+                rhs = -(g_c.reshape(-1) - rhs_corr0 / (1.0 + lam))
+                rhs_pad = (jnp.zeros(KCp, dtype).at[:KC].set(rhs)) * maskp
+                rhs_loc = jax.lax.dynamic_slice(
+                    rhs_pad, (row0,), (KpD * C_,)
+                )
+
+                # local block-Jacobi preconditioner (exact C x C diagonal
+                # blocks of S(lam), identity on fixed/pad cameras)
+                loc_rows = H_rows.reshape(KpD, C_, Kp, C_)
+                oh = jax.nn.one_hot(
+                    didx * KpD + jnp.arange(KpD), Kp, dtype=dtype
+                )
+                Hblk_loc = jnp.einsum("icjd,ij->icd", loc_rows, oh)
+                Sd_pad = jnp.zeros((Kp, C_, C_), dtype).at[:K].set(Sdiag)
+                zero = jnp.zeros((), didx.dtype)
+                Sd_loc = jax.lax.dynamic_slice(
+                    Sd_pad, (didx * KpD, zero, zero), (KpD, C_, C_)
+                )
+                dloc_blk = d_loc.reshape(KpD, C_)          # (KpD, C)
+                eye = jnp.eye(C_, dtype=dtype)[None]
+                B = (Hblk_loc - Sd_loc / (1.0 + lam)
+                     + eye * (lam * dloc_blk)[:, :, None])
+                # identity blocks on fixed/pad cameras
+                mblk = mask_loc.reshape(KpD, C_)[:, :1, None]
+                B = B * mblk + eye * (1.0 - mblk)
+                Binv = jnp.linalg.inv(B)
+
+                def precond(r):
+                    return jnp.einsum(
+                        "icd,id->ic", Binv, r.reshape(KpD, C_)
+                    ).reshape(-1) * mask_loc
+
+                def matvec(p_loc):
+                    p_full = jax.lax.all_gather(
+                        p_loc, DATA_AXIS, tiled=True
+                    ) * maskp                                   # (KCp,)
+                    hv = H_rows @ p_full                        # local rows
+                    hv = hv + lam * d_loc * jax.lax.dynamic_slice(
+                        p_full, (row0,), (KpD * C_,)
+                    )
+                    y = (M @ p_full[:KC]) * inv0                # (L_s,)
+                    w = (M.T @ y) / (1.0 + lam)                 # (KC,)
+                    w_pad = jnp.zeros(KCp, dtype).at[:KC].set(w)
+                    w_loc = jax.lax.psum_scatter(
+                        w_pad, DATA_AXIS, scatter_dimension=0, tiled=True
+                    )
+                    return (hv - w_loc) * mask_loc
+
+                def dot(a, b):
+                    return jax.lax.psum(jnp.vdot(a, b), DATA_AXIS)
+
+                x = jnp.zeros_like(rhs_loc)
+                r = rhs_loc
+                z = precond(r)
+                p_dir = z
+                rz = dot(r, z)
+                rhs_nrm = dot(rhs_loc, rhs_loc)
+
+                def cg_cond(s):
+                    _, r, _, _, _, it = s
+                    rr = dot(r, r)
+                    return (it < n_cg) & (rr > cg_tol * cg_tol * rhs_nrm)
+
+                def cg_body(s):
+                    x, r, z, p_dir, rz, it = s
+                    Sp = matvec(p_dir)
+                    den = dot(p_dir, Sp)
+                    alpha = rz / jnp.where(den != 0.0, den, 1.0)
+                    alpha = jnp.where(den > 0.0, alpha, 0.0)
+                    x = x + alpha * p_dir
+                    r = r - alpha * Sp
+                    z = precond(r)
+                    rz_new = dot(r, z)
+                    beta = rz_new / jnp.where(rz != 0.0, rz, 1.0)
+                    p_dir = z + beta * p_dir
+                    return (x, r, z, p_dir, rz_new, it + 1)
+
+                x, _, _, _, _, _ = jax.lax.while_loop(
+                    cg_cond, cg_body, (x, r, z, p_dir, rz, jnp.asarray(0))
+                )
+                dc_full = jax.lax.all_gather(x, DATA_AXIS, tiled=True)
+                delta_c = (dc_full * maskp)[:KC]
+                delta_p = -(g_p + M @ delta_c) * inv0 / (1.0 + lam)
+                return delta_c.reshape(K, C_), delta_p
+
             with jax.default_matmul_precision("float32"):
                 init_cost = cost_fn(prob)
 
                 def body(state):
                     p, lam, cost, it, done = state
-                    _, neq = build_psum(p)
+                    if camera_partition:
+                        _, neq = build_part(p)
+                    else:
+                        _, neq = build_psum(p)
 
                     def apply(dc, dp):
                         new_cams = jax.vmap(cam_retract)(p.cam_states, dc)
@@ -346,7 +511,12 @@ def make_distributed_fused_solver(
 
                     def inner_body(s):
                         lam_i, _, _, tries, _, _ = s
-                        dc, dp = solver.solve_lam(neq, plan, lam_i, free, cfg)
+                        if camera_partition:
+                            dc, dp = solve_lam_part(neq, lam_i)
+                        else:
+                            dc, dp = solver.solve_lam(
+                                neq, plan, lam_i, free, cfg
+                            )
                         new_cost = cost_fn(apply(dc, dp))
                         ok = (new_cost < cost) & jnp.isfinite(new_cost)
                         return (
