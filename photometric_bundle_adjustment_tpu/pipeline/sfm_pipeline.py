@@ -248,11 +248,23 @@ class SfmPipeline:
     def _stack_features(self):
         if self._stacked is not None:
             return self._stacked
-        uv = jnp.asarray(np.stack([self.corners[f]["uv"] for f in self.fcids]))
-        valid = jnp.asarray(
-            np.stack([self.corners[f]["valid"] for f in self.fcids])
-        )
-        desc = jnp.asarray(np.stack([self.corners[f]["desc"] for f in self.fcids]))
+        uv_np = np.stack([self.corners[f]["uv"] for f in self.fcids])
+        valid_np = np.stack([self.corners[f]["valid"] for f in self.fcids])
+        desc_np = np.stack([self.corners[f]["desc"] for f in self.fcids])
+        # Compact the feature axis to the actual detection count: detection
+        # fills slots score-descending (valid first), and on EuRoC the 0.01
+        # quality gate yields ~350-450 corners — matching at the padded
+        # 1500 slots would do (1500/450)^2 ~ 11x redundant Hamming work per
+        # pair.  Round to the 128-lane so every matcher shape stays tiled.
+        n_valid = int(valid_np.sum(1).max()) if valid_np.size else 0
+        Fc = max(128, -(-n_valid // 128) * 128)
+        if Fc < uv_np.shape[1]:
+            uv_np = uv_np[:, :Fc]
+            valid_np = valid_np[:, :Fc]
+            desc_np = desc_np[:, :Fc]
+        uv = jnp.asarray(uv_np)
+        valid = jnp.asarray(valid_np)
+        desc = jnp.asarray(desc_np)
         cam_ids = np.array([c for (_, c) in self.fcids])
         intr = jnp.asarray(self.calib.intrinsics)[cam_ids]  # (I, 8)
         bear = cam_models.unproject_unit(self.model, intr[:, None, :], uv)
