@@ -185,15 +185,17 @@ def _eval_homog(coeffs, s, c):
     )
 
 
-def _real_roots_deg10(det, n_grid=512, n_bisect=48):
-    """Up to 10 real roots of the degree-10 polynomial (coeffs descending).
+def real_roots(coeffs, max_roots, n_grid=512, n_bisect=48):
+    """Up to ``max_roots`` real roots of a polynomial (coeffs DESCENDING).
 
-    Returns (roots (10,), valid (10,)).  Projective theta-grid + bisection;
-    fully fixed-shape.
+    Returns (roots (max_roots,), valid (max_roots,)).  Projective
+    theta-grid (z = tan theta) + homogeneous evaluation + fixed bisection;
+    fully fixed-shape, no ``eig`` — usable inside vmap/jit on TPU.
+    Shared by the 5-point (degree 10) and P3P (degree 4) solvers.
     """
-    dtype = det.dtype
-    scale = jnp.max(jnp.abs(det))
-    det = det / jnp.maximum(scale, jnp.finfo(dtype).tiny)
+    dtype = coeffs.dtype
+    scale = jnp.max(jnp.abs(coeffs))
+    det = coeffs / jnp.maximum(scale, jnp.finfo(dtype).tiny)
 
     theta = jnp.linspace(-np.pi / 2, np.pi / 2, n_grid,
                          dtype=dtype)[1:-1]
@@ -201,7 +203,7 @@ def _real_roots_deg10(det, n_grid=512, n_bisect=48):
     change = (q[:-1] * q[1:]) < 0.0  # (n_grid - 3,)
     n = change.shape[0]
     score = change.astype(dtype) * (2.0 * n - jnp.arange(n, dtype=dtype))
-    top, idx = jax.lax.top_k(score, 10)
+    top, idx = jax.lax.top_k(score, max_roots)
     valid = top > 0.0
     lo = theta[idx]
     hi = theta[idx + 1]
@@ -244,7 +246,7 @@ def five_point_candidates(f0: jax.Array, f1: jax.Array):
 
     A = _constraint_matrix(Ebasis)
     Bxy, Bc, det = _action_polynomials(A)
-    roots, valid = _real_roots_deg10(det)
+    roots, valid = real_roots(det, 10)
 
     def e_of_root(z):
         s = z / jnp.sqrt(1.0 + z * z)

@@ -15,8 +15,12 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from photometric_bundle_adjustment_tpu.io import map_io
 from photometric_bundle_adjustment_tpu.utils import evaluation
@@ -47,7 +51,15 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     ref_cams, ref_stats = parse_ref_dump(args.ref_dump)
-    cameras, landmarks, tracks, outliers = map_io.load_map(args.our_map)
+    if args.our_map.endswith(".pkl"):
+        import pickle
+
+        with open(args.our_map, "rb") as f:
+            blob = pickle.load(f)
+        cameras = {f: np.asarray(p) for f, p in blob["cameras"].items()}
+        landmarks = blob["landmarks"]
+    else:
+        cameras, landmarks, tracks, outliers = map_io.load_map(args.our_map)
     our_stats = {
         "cameras": len(cameras),
         "landmarks": len(landmarks),
