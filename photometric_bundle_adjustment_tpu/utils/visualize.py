@@ -96,3 +96,66 @@ def draw_scene(pipe, path: str) -> None:
     ax.set_box_aspect((1, 1, 1))
     fig.savefig(path, bbox_inches="tight", dpi=120)
     plt.close(fig)
+
+
+def draw_epipolar_curves(
+    image: np.ndarray,
+    T_this_other: np.ndarray,   # (7,) relative pose of the OTHER camera
+    model: str,
+    intrinsics: np.ndarray,     # (8,) this camera's intrinsics
+    path: str,
+    uv: np.ndarray | None = None,
+    n_curves_half: int = 16,
+    transform_p1: bool = True,
+) -> None:
+    """Epipolar-curve overlay (sfm.cpp:748-802 headless): for a camera
+    pair with relative pose ``T_this_other``, draw the projections of the
+    epipolar great circles through a fan of directions — under the
+    distorted camera models these are CURVES, not lines, so each is a
+    dense polyline  project(j * e  +  (1 - |j|) * p1),  j in [-1, 1]
+    with e the normalised epipole direction (the reference's exact
+    construction, including the +-pi/4 fan and 0.05 angular step).
+    """
+    import jax.numpy as jnp
+
+    from photometric_bundle_adjustment_tpu.core import cameras, se3
+
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.imshow(image, cmap="gray")
+
+    T = jnp.asarray(T_this_other)
+    e = np.asarray(se3.translation(T))
+    e = e / max(np.linalg.norm(e), 1e-12)
+    intr = jnp.asarray(intrinsics)
+
+    angles = np.arange(-np.pi / 4, np.pi / 4 + 1e-9, 0.05)
+    js = np.linspace(-1.0, 1.0, 501)
+    for i, ang in enumerate(angles):
+        p1 = np.array([0.0, np.sin(ang), np.cos(ang)])
+        if transform_p1:
+            p1 = np.asarray(se3.act(T, jnp.asarray(p1)))
+        p1 = p1 / max(np.linalg.norm(p1), 1e-12)
+        pts3 = js[:, None] * e[None, :] + (1.0 - np.abs(js))[:, None] * p1
+        uv_line = np.asarray(
+            cameras.project(model, intr, jnp.asarray(pts3))
+        )
+        h, w = image.shape[:2]
+        ok = (
+            np.isfinite(uv_line).all(1)
+            & (uv_line[:, 0] >= 0) & (uv_line[:, 0] < w)
+            & (uv_line[:, 1] >= 0) & (uv_line[:, 1] < h)
+        )
+        # break the polyline where it leaves the image
+        uv_plot = np.where(ok[:, None], uv_line, np.nan)
+        ax.plot(uv_plot[:, 0], uv_plot[:, 1], color="cyan", lw=0.8,
+                alpha=0.8)
+        c = np.asarray(cameras.project(model, intr, jnp.asarray(p1)))
+        if np.isfinite(c).all() and 0 <= c[0] < w and 0 <= c[1] < h:
+            ax.annotate(str(i), (c[0], c[1]), color="cyan", fontsize=6)
+
+    if uv is not None and len(uv):
+        ax.scatter(uv[:, 0], uv[:, 1], s=6, c="red", marker="x")
+    ax.set_axis_off()
+    fig.savefig(path, bbox_inches="tight", dpi=120)
+    plt.close(fig)

@@ -72,3 +72,25 @@ def test_ate_umeyama():
     noisy = moved + rng.normal(0, 0.1, moved.shape)
     ate = evaluation.ate_rmse(noisy, traj)
     assert 0.05 < ate < 0.2
+
+
+def test_epipolar_curve_overlay(tmp_path):
+    """draw_epipolar_curves produces a PNG with the reference's fan
+    construction (sfm.cpp:748-802) under a distorted model."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from photometric_bundle_adjustment_tpu.core import se3
+    from photometric_bundle_adjustment_tpu.utils import visualize
+
+    img = (np.random.default_rng(0).uniform(0, 255, (480, 752))
+           .astype(np.uint8))
+    # EuRoC-ish stereo baseline
+    T = np.asarray(se3.exp(jnp.asarray([0.11, 0.0, 0.0, 0.0, 0.003, 0.0])))
+    intr = np.array([350.0, 350.0, 376.0, 240.0, -0.21, 0.58, 0.0, 0.0])
+    out = tmp_path / "epi.png"
+    visualize.draw_epipolar_curves(
+        img, T, "ds", intr, str(out),
+        uv=np.array([[100.0, 100.0], [400.0, 300.0]]),
+    )
+    assert out.exists() and out.stat().st_size > 10_000

@@ -289,3 +289,36 @@ def test_ransac_nister_beats_eight_point_at_high_outlier_rate():
     # has < 3% chance of a single clean sample
     assert counts["nister"] >= 30, counts
     assert counts["nister"] >= counts["eight_point"], counts
+
+
+def test_ransac_pnp_p3p_beats_dlt_at_high_outlier_rate():
+    """P3P minimal samples (P(clean) = (1-e)^3) localise where the 6-point
+    DLT's clean-sample probability collapses — VERDICT round-1 missing #3
+    (EPnP parity via a minimal solver, map_utils.h:268-278)."""
+    rng = np.random.default_rng(11)
+    M, n_out = 120, 78  # 65% outliers: (0.35)^3 ~ 1/23, (0.35)^6 ~ 1/544
+    xi = np.array([0.3, -0.2, 0.4, 0.1, 0.05, -0.07])
+    T_c_w = se3.exp(jnp.asarray(xi))
+    Pw = rng.uniform(-2, 2, (M, 3)) + np.array([0, 0, 7.0])
+    Pc = np.array(jax.vmap(lambda p: se3.act(T_c_w, p))(jnp.asarray(Pw)))
+    f = Pc / np.linalg.norm(Pc, axis=-1, keepdims=True)
+    bad = rng.permutation(M)[:n_out]
+    fb = rng.normal(size=(n_out, 3))
+    f = np.array(f)
+    f[bad] = fb / np.linalg.norm(fb, axis=-1, keepdims=True)
+    # keep outlier bearings in front of the camera (realistic mismatches)
+    f[bad, 2] = np.abs(f[bad, 2])
+    f /= np.linalg.norm(f, axis=-1, keepdims=True)
+    valid = jnp.ones(M, bool)
+    key = jax.random.PRNGKey(2)
+
+    n_true = M - n_out
+    counts = {}
+    for solver in ("p3p", "dlt"):
+        T_w_c, inl = ransac.ransac_pnp(
+            jnp.asarray(f), jnp.asarray(Pw), valid, key,
+            num_hypotheses=64, solver=solver,
+        )
+        counts[solver] = int(np.asarray(inl).sum())
+    assert counts["p3p"] >= 0.9 * n_true, counts
+    assert counts["p3p"] >= counts["dlt"], counts
