@@ -82,6 +82,21 @@ def detect_keypoints(
     H, W = img.shape
     score = shi_tomasi_score(img)
 
+    # edge margin FIRST (InBounds with EDGE_THRESHOLD, keypoints.h:145):
+    # the zero-padded convolutions manufacture huge phantom responses on
+    # the image border; if they enter the max, the relative quality gate
+    # wipes out real corners on low-contrast (blurred) frames — measured
+    # 28 vs OpenCV's 369 corners on EuRoC V1 frame 47 before this fix.
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    in_bounds = (
+        (xs >= edge_threshold)
+        & (xs < W - edge_threshold)
+        & (ys >= edge_threshold)
+        & (ys < H - edge_threshold)
+    )
+    score = jnp.where(in_bounds, score, 0.0)
+
     # quality threshold relative to best corner (goodFeaturesToTrack semantics)
     score = jnp.where(score >= quality_level * jnp.max(score), score, 0.0)
 
@@ -98,17 +113,7 @@ def detect_keypoints(
         padding="SAME",
     )
     is_peak = (score == local_max) & (score > 0.0)
-
-    # edge margin (InBounds with EDGE_THRESHOLD, keypoints.h:145)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    in_bounds = (
-        (xs >= edge_threshold)
-        & (xs < W - edge_threshold)
-        & (ys >= edge_threshold)
-        & (ys < H - edge_threshold)
-    )
-    masked = jnp.where(is_peak & in_bounds, score, 0.0)
+    masked = jnp.where(is_peak, score, 0.0)
 
     flat = masked.reshape(-1)
     top_scores, top_idx = jax.lax.top_k(flat, num_features)
