@@ -795,6 +795,21 @@ class SfmPipeline:
 
         K = _bucket(len(cam_list), 4)
         L = _bucket(len(lm_list), 64)
+        # High-water-mark padding: the incremental loop calls BA ~40 times
+        # with growing (K, L, O); every new pow2 bucket combination is a
+        # recompile — on the tunneled TPU a compile costs more than all 20
+        # LM iterations it serves.  Never shrink, and on accelerators
+        # pre-pad K to the dataset size (known upfront) so the camera
+        # bucket is compiled ONCE; extra padded cameras are fixed/masked
+        # and cost ~nothing at the fused build's dense shapes.
+        if not hasattr(self, "_ba_hwm"):
+            if jax.default_backend() != "cpu":
+                k_floor = _bucket(len(self.fcids), 4)
+            else:
+                k_floor = K
+            self._ba_hwm = [max(K, k_floor), L, 0]
+        self._ba_hwm[0] = K = max(K, self._ba_hwm[0])
+        self._ba_hwm[1] = L = max(L, self._ba_hwm[1])
 
         poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (K, 1))
         for f, i in cam_index.items():
@@ -824,6 +839,7 @@ class SfmPipeline:
                 ir.append(anchor_intr[i])
                 it.append(fcid[1])
         O = _bucket(max(len(oa), 1))
+        self._ba_hwm[2] = O = max(O, self._ba_hwm[2])
         pad = O - len(oa)
         intr_tab = np.asarray(self.calib.intrinsics)
 
