@@ -180,6 +180,9 @@ class SfmPipeline:
         self.max_cameras_to_add = 0
         self.image_projections: dict = {}
         self.timings: dict = {}
+        # device-kernel invocation counts (workload accounting for the
+        # keyframes/s composite bench — bench.py build_keyframes_workload)
+        self.counters: dict = {}
 
         self._stacked = None  # device-side stacked features
 
@@ -188,6 +191,9 @@ class SfmPipeline:
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _count(self, name, n=1):
+        self.counters[name] = self.counters.get(name, 0) + n
 
     def landmark_positions(self, tids: list) -> np.ndarray:
         """Batched Landmark::get_p (common_types.h:205-217); bucketed so the
@@ -205,6 +211,8 @@ class SfmPipeline:
         intr = np.asarray(self.calib.intrinsics)[cam_ids]
         N = len(tids)
         M = _bucket(N, 256)
+        self._count("lmpos_calls")
+        self._count(f"lmpos_rows_{M}")
         p_w = _lm_positions_kernel(
             self.model,
             jnp.asarray(_pad_rows(uv, M)),
@@ -228,6 +236,7 @@ class SfmPipeline:
                     [stack, np.zeros((batch - len(chunk),) + stack.shape[1:],
                                      stack.dtype)]
                 )
+            self._count("detect_batches")
             uv, valid, angles, desc = jax.tree_util.tree_map(
                 np.asarray,
                 describe.detect_and_describe_batch(
@@ -320,6 +329,8 @@ class SfmPipeline:
         C = cfg.match_chunk_pairs
         for s in range(0, len(stereo), C):
             chunk = stereo[s : s + C]
+            self._count("stereo_chunks")
+            self._count("stereo_pairs", len(chunk))
             pad = C - len(chunk)
             i1 = np.array([a for a, _, _ in chunk] + [0] * pad, np.int32)
             i2 = np.array([b for _, b, _ in chunk] + [1] * pad, np.int32)
@@ -429,6 +440,8 @@ class SfmPipeline:
 
         for s in range(0, len(ids), C):
             chunk = ids[s : s + C]
+            self._count("match_chunks")
+            self._count("match_pairs", len(chunk))
             pad = C - len(chunk)
             i1 = np.array([a for a, _ in chunk] + [0] * pad, np.int32)
             i2 = np.array([b for _, b in chunk] + [1] * pad, np.int32)
@@ -544,6 +557,8 @@ class SfmPipeline:
         T1 = np.stack([np.asarray(self.cameras[f1]) for _, f1, _ in rows])
         N = len(rows)
         M = _bucket(N, 256)
+        self._count("triangulate_calls")
+        self._count(f"triangulate_rows_{M}")
         # parallax gate: rays must subtend a minimum angle at the point,
         # else the midpoint depth is unconstrained (see config note)
         min_cos = float(np.cos(np.deg2rad(self.cfg.min_triangulation_angle_deg)))
@@ -662,6 +677,8 @@ class SfmPipeline:
         # (compiles dominate wall-clock on the tunneled TPU)
         N = len(shared_track_ids)
         M = _bucket(N, minimum=1024)
+        self._count("localize_calls")
+        self._count(f"localize_rows_{M}")
         intr = np.asarray(self.calib.intrinsics)[fcid[1]]
         T_w_c, inl = _localize_kernel(
             self.model,
@@ -894,6 +911,7 @@ class SfmPipeline:
             f"Optimizing map with {len(self.cameras)} cameras ({num_new} new), "
             f"{len(self.landmarks)} points and {num_obs} observations."
         )
+        self._count("ba_solves")
         problem, cam_list, lm_list = self._build_ba_problem()
         cfg = ba.BAConfig(
             max_iterations=20,
@@ -1017,6 +1035,8 @@ class SfmPipeline:
         intr = np.asarray(self.calib.intrinsics)[cam_ids]
         N = len(rows)
         M = _bucket(N, 256)
+        self._count("project_calls")
+        self._count(f"project_rows_{M}")
         uv_proj, err, dist, zc = jax.tree_util.tree_map(
             np.asarray,
             _project_rows_kernel(
@@ -1165,6 +1185,11 @@ class SfmPipeline:
         if self.stage == Stage.REMOVE_OUTLIERS:
             self._timed("remove_outliers", self.remove_outlier_landmarks)
             return True
+        if self.counters:
+            self.log(
+                "Kernel invocations: "
+                + " ".join(f"{k}={v}" for k, v in sorted(self.counters.items()))
+            )
         self.log(self.summary())
         return False
 

@@ -28,8 +28,23 @@ def test_build_step_and_time_iters(host_plan, manual):
 def test_build_pba_step_and_time_iters():
     import jax.numpy as jnp
 
-    lm_step, problem, const = bench.build_pba_step(
+    lm_step, problem = bench.build_pba_step(
         jnp.float32, use_kernel=False, K=12, L=48, obs_per_lm=3, H=64, W=96,
     )
-    dt = bench.time_iters(lm_step, problem, iters=3, const=const)
+    dt = bench.time_iters(lm_step, problem, iters=3)
     assert dt > 0.0
+
+
+def test_keyframes_composite_stage_timers():
+    """The per-stage device timers behind the keyframes_per_s composite
+    metric compile and run at toy shapes (the real shapes are EuRoC-sized
+    and TPU-bound; bench.py main exercises those)."""
+    step, imgs = bench.build_detect_step(H=64, W=96, B=2, F=128)
+    bench.time_devcalls(step, imgs, 3)
+    chunk_fn, key, lane, I = bench.build_match_chunk(
+        I=8, F=128, C=2, MM=128, hyps=8
+    )
+    bench.time_match_chunk(chunk_fn, key, lane, I, 3)
+    geo = bench.build_geometry_steps(M_loc=128, M_rows=256)
+    for _name, (fn, args) in geo.items():
+        bench.time_devcalls(fn, args, 3)
