@@ -33,6 +33,12 @@ def main(argv=None):
              "(the reference's optimize_intrinsics option)",
     )
     parser.add_argument(
+        "--params-file", default=None,
+        help="JSON file of SfmConfig overrides, re-read before every "
+             "pipeline step — the headless analog of the reference's "
+             "live-tunable Pangolin parameter panel (sfm.cpp:197-261)",
+    )
+    parser.add_argument(
         "--global-init", action="store_true",
         help="Bootstrap all cameras at once by rotation/translation "
              "averaging over the match graph before the incremental loop",
@@ -78,7 +84,8 @@ def main(argv=None):
         use_match_bow=bool(args.voc_path),
         ba_optimize_intrinsics=args.optimize_intrinsics,
     )
-    pipe = SfmPipeline(images, calib, cfg, cache_dir=args.cache_dir, seed=args.seed)
+    pipe = SfmPipeline(images, calib, cfg, cache_dir=args.cache_dir,
+                       seed=args.seed, params_file=args.params_file)
     if args.voc_path:
         from photometric_bundle_adjustment_tpu.features import bow
 

@@ -156,7 +156,9 @@ def _localize_kernel(model, uv, intr, points, valid, key,
 class SfmPipeline:
     def __init__(self, images: dict, calib, cfg: SfmConfig = SfmConfig(),
                  cache_dir: str | None = None, seed: int = 0,
-                 log=print):
+                 log=print, params_file: str | None = None):
+        self.params_file = params_file
+        self._params_mtime = None
         self.images = images          # {(frame, cam): (H, W) uint8}
         self.calib = calib            # io.calib_io.Calibration
         self.cfg = cfg
@@ -1149,9 +1151,53 @@ class SfmPipeline:
         self.timings[name] = self.timings.get(name, 0.0) + (time.time() - t0)
         return out
 
+    def _maybe_reload_params(self):
+        """Headless analog of the reference's live-tunable Pangolin
+        parameter panel (~30 GUI vars, sfm.cpp:197-261): if the watched
+        JSON file changed since the last step, matching SfmConfig fields
+        are updated in place and take effect from the next stage on.
+        (Shape-sizing knobs such as max_matches_per_pair apply to kernels
+        built after the change.)"""
+        import dataclasses
+        import json
+        import os
+
+        path = self.params_file
+        if not path or not os.path.exists(path):
+            return
+        mtime = os.stat(path).st_mtime
+        if mtime == self._params_mtime:
+            return
+        self._params_mtime = mtime
+        try:
+            with open(path) as f:
+                new = json.load(f)
+        except (OSError, ValueError) as e:  # half-written file: retry later
+            self.log(f"params-file {path}: not reloaded ({e})")
+            self._params_mtime = None
+            return
+        known = {f.name for f in dataclasses.fields(self.cfg)}
+        changed = []
+        for k, v in new.items():
+            if k not in known:
+                self.log(f"params-file: unknown parameter {k!r} ignored")
+                continue
+            old = getattr(self.cfg, k)
+            try:
+                v = type(old)(v)
+            except (TypeError, ValueError):
+                self.log(f"params-file: bad value for {k!r} ignored: {v!r}")
+                continue
+            if v != old:
+                setattr(self.cfg, k, v)
+                changed.append(f"{k}: {old} -> {v}")
+        if changed:
+            self.log("Parameters updated: " + "; ".join(changed))
+
     def next_step(self) -> bool:
         """One pipeline step; returns False when done (next_step,
         sfm.cpp:1117-1167)."""
+        self._maybe_reload_params()
         if not self.corners:
             if not self._load_cache("corners"):
                 self.detect_keypoints()

@@ -160,3 +160,40 @@ def test_optimize_intrinsics_option():
 
     stats = evaluation.reprojection_stats(pipe)
     assert stats["mean_px"] < 1.0
+
+
+def test_params_file_live_reload(tmp_path):
+    """--params-file: SfmConfig fields update in place between steps (the
+    headless analog of the reference's Pangolin parameter panel)."""
+    import json
+
+    calib = calib_io.load_calibration(
+        os.path.join(os.path.dirname(__file__), "data", "opt_calib_ds.json")
+    )
+    images = {(0, 0): np.zeros((32, 32), np.uint8)}
+    pf = tmp_path / "params.json"
+    logs = []
+    pipe = SfmPipeline(images, calib, SfmConfig(), log=logs.append,
+                       params_file=str(pf))
+    pipe._maybe_reload_params()  # file absent: no-op
+    assert pipe.cfg.feature_match_max_dist == 70
+
+    pf.write_text(json.dumps(
+        {"feature_match_max_dist": 50, "reprojection_error_huber_pixel": 2,
+         "no_such_knob": 1}
+    ))
+    pipe._maybe_reload_params()
+    assert pipe.cfg.feature_match_max_dist == 50
+    # ints coerce to the field's existing type (float)
+    assert pipe.cfg.reprojection_error_huber_pixel == 2.0
+    assert isinstance(pipe.cfg.reprojection_error_huber_pixel, float)
+    assert any("unknown parameter" in s for s in logs)
+    assert any("Parameters updated" in s for s in logs)
+
+    # unchanged mtime: no re-read; half-written JSON: survives and retries
+    pipe._maybe_reload_params()
+    pf.write_text("{not json")
+    os.utime(pf, (1e9, 1e9 + 1))
+    pipe._maybe_reload_params()
+    assert any("not reloaded" in s for s in logs)
+    assert pipe.cfg.feature_match_max_dist == 50
