@@ -227,30 +227,38 @@ class SfmPipeline:
     # ------------------------------------------------------------ stage 1-2
 
     def detect_keypoints(self, batch: int = 8):
+        """Whole-dataset detection+description in ONE device dispatch
+        (lax.map over vmapped sub-batches): one upload of the image stack,
+        one fetch of all features.  Per-dispatch tunnel latency made the
+        old per-batch loop the single most volatile stage (206-439 s wall
+        for 0.4 s/batch of device compute)."""
         t0 = time.time()
         self.clear_keypoints()
         F = self.cfg.num_features_per_image
-        for s in range(0, len(self.fcids), batch):
-            chunk = self.fcids[s : s + batch]
-            stack = np.stack([self.images[f] for f in chunk])
-            if len(chunk) < batch:  # pad to keep the jit shape static
-                stack = np.concatenate(
-                    [stack, np.zeros((batch - len(chunk),) + stack.shape[1:],
-                                     stack.dtype)]
-                )
-            self._count("detect_batches")
-            uv, valid, angles, desc = jax.tree_util.tree_map(
-                np.asarray,
-                describe.detect_and_describe_batch(
-                    jnp.asarray(stack), num_features=F,
-                    rotate_features=self.cfg.rotate_features,
-                ),
-            )
-            for i, fcid in enumerate(chunk):
-                self.corners[fcid] = {
-                    "uv": uv[i], "valid": valid[i],
-                    "angles": angles[i], "desc": desc[i],
-                }
+        N = len(self.fcids)
+        if N == 0:
+            self.timings["detect"] = time.time() - t0
+            return
+        shape = next(iter(self.images.values())).shape
+        Np = -(-N // batch) * batch  # zero-pad: padded images yield no corners
+        stack = np.zeros((Np,) + shape, np.asarray(
+            next(iter(self.images.values()))).dtype)
+        for i, f in enumerate(self.fcids):
+            stack[i] = self.images[f]
+        self._count("detect_batches", Np // batch)
+        self._count("detect_dispatches")
+        uv, valid, angles, desc = jax.tree_util.tree_map(
+            np.asarray,
+            describe.detect_and_describe_all(
+                jnp.asarray(stack), batch=batch, num_features=F,
+                rotate_features=self.cfg.rotate_features,
+            ),
+        )
+        for i, fcid in enumerate(self.fcids):
+            self.corners[fcid] = {
+                "uv": uv[i], "valid": valid[i],
+                "angles": angles[i], "desc": desc[i],
+            }
         self.timings["detect"] = time.time() - t0
         self._save_cache("corners")
         self.log(f"Detected keypoints in {len(self.fcids)} images "
