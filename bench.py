@@ -104,15 +104,28 @@ def build_pba_step(dtype, use_kernel: bool, **scale):
     problem, plan = fused.densify_problem(problem, pow2_buckets=False)
     n_images = problem.cam_states.pose.shape[0]
 
+    # The image stack (~240 MB at EuRoC scale) must ride the jit boundary
+    # as an ARGUMENT: a closure capture inlines it as an HLO constant into
+    # the timing loop's compile request, which the tunneled remote-compile
+    # service rejects with HTTP 413.  time_iters threads ``const`` through
+    # the fori_loop as a bound parameter instead.
     if use_kernel:
         outer = pba.make_kernel_dense_solver(
             "pinhole", images_flat, H, W, problem, n_images
         )
-        solver = outer.make_inner(outer.images_pad)
+        const = outer.images_pad
+        make_solver = outer.make_inner
     else:
-        solver = pba.make_fused_solver("pinhole", images_flat, H, W)
+        # gather-sampler path (CPU baseline): images stay closure-captured —
+        # CPU compiles locally, so there is no compile-request size limit
+        gather_solver = pba.make_fused_solver("pinhole", images_flat, H, W)
+        const = jnp.zeros((1,), dtype)
 
-    def lm_step(problem):
+        def make_solver(_images):
+            return gather_solver
+
+    def lm_step(problem, images):
+        solver = make_solver(images)
         with jax.default_matmul_precision("float32"):
             cost, neq = solver.build(problem, plan, cfg)
             dc, dp = solver.solve_lam(
@@ -124,7 +137,7 @@ def build_pba_step(dtype, use_kernel: bool, **scale):
                 cam_states=new_cams, inv_depth=problem.inv_depth + dp
             ), cost
 
-    return lm_step, problem
+    return lm_step, problem, const
 
 
 # ---------------------------------------------------------------------------
@@ -375,22 +388,35 @@ def composite_keyframes(dt_ba: float, fast: bool = False):
     return w["images"] / total, dt_chunk, breakdown
 
 
-def time_iters(lm_step, problem, iters: int) -> float:
-    """Seconds per LM iteration, measured on device (see module docstring)."""
+def time_iters(lm_step, problem, iters: int, const=None) -> float:
+    """Seconds per LM iteration, measured on device (see module docstring).
+
+    ``const``: extra array argument threaded through the loop as a bound
+    jit PARAMETER (e.g. the photometric image stack — closure-capturing it
+    would inline hundreds of MB as an HLO constant, which the tunneled
+    remote-compile service rejects with HTTP 413)."""
     import jax
     import jax.numpy as jnp
 
-    def run(n, p):
+    two_arg = const is not None
+
+    def run(n, p, c):
         def body(i, state):
             p, _ = state
-            return lm_step(p)
+            return lm_step(p, c) if two_arg else lm_step(p)
 
         return jax.lax.fori_loop(
             0, n, body, (p, jnp.asarray(0.0, p.inv_depth.dtype))
         )
 
-    run_n = jax.jit(lambda p: run(iters, p))
-    run_1 = jax.jit(lambda p: run(1, p))
+    if two_arg:
+        jit_n = jax.jit(lambda p, c: run(iters, p, c))
+        jit_1 = jax.jit(lambda p, c: run(1, p, c))
+        run_n = lambda p: jit_n(p, const)
+        run_1 = lambda p: jit_1(p, const)
+    else:
+        run_n = jax.jit(lambda p: run(iters, p, None))
+        run_1 = jax.jit(lambda p: run(1, p, None))
     float(run_n(problem)[1])  # warmup/compile
     float(run_1(problem)[1])
 
@@ -423,8 +449,10 @@ def _cpu_baseline_main():
         jnp.float32, use_manual_jac=True, host_plan=True
     )
     print("CPU_DT", time_iters(lm_step, problem, 8))
-    pba_step, pba_problem = build_pba_step(jnp.float32, use_kernel=False)
-    print("CPU_PBA_DT", time_iters(pba_step, pba_problem, 4))
+    pba_step, pba_problem, pba_const = build_pba_step(
+        jnp.float32, use_kernel=False
+    )
+    print("CPU_PBA_DT", time_iters(pba_step, pba_problem, 4, const=pba_const))
     chunk_fn, key, lane, I = build_match_chunk()
     print("CPU_MATCH_DT", time_match_chunk(chunk_fn, key, lane, I, 3))
 
@@ -451,10 +479,12 @@ def main():
     dt = time_iters(lm_step, problem, 50 if backend != "cpu" else 8)
     iters_per_s = 1.0 / dt
 
-    pba_step, pba_problem = build_pba_step(
+    pba_step, pba_problem, pba_const = build_pba_step(
         jnp.float32, use_kernel=(backend != "cpu")
     )
-    dt_pba = time_iters(pba_step, pba_problem, 30 if backend != "cpu" else 4)
+    dt_pba = time_iters(
+        pba_step, pba_problem, 30 if backend != "cpu" else 4, const=pba_const
+    )
 
     kf_per_s, dt_chunk, kf_breakdown = composite_keyframes(
         dt, fast=(backend == "cpu")

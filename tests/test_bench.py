@@ -28,10 +28,10 @@ def test_build_step_and_time_iters(host_plan, manual):
 def test_build_pba_step_and_time_iters():
     import jax.numpy as jnp
 
-    lm_step, problem = bench.build_pba_step(
+    lm_step, problem, const = bench.build_pba_step(
         jnp.float32, use_kernel=False, K=12, L=48, obs_per_lm=3, H=64, W=96,
     )
-    dt = bench.time_iters(lm_step, problem, iters=3)
+    dt = bench.time_iters(lm_step, problem, iters=3, const=const)
     assert dt > 0.0
 
 
