@@ -371,8 +371,11 @@ def composite_keyframes(dt_ba: float, fast: bool = False):
     chunk_fn, key, lane, I = build_match_chunk()
     dt_chunk = time_match_chunk(chunk_fn, key, lane, I, 3 if fast else 8)
     geo = build_geometry_steps()
+    # sub-ms kernels can measure negative at the timer's resolution
+    # (t_n - t_1 differencing); clamp to zero — they are noise-level anyway
     dt_geo = {
-        name: time_devcalls(fn, args, it) for name, (fn, args) in geo.items()
+        name: max(0.0, time_devcalls(fn, args, it))
+        for name, (fn, args) in geo.items()
     }
     M_rows = 2048
     breakdown = {

