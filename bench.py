@@ -187,6 +187,8 @@ def time_devcalls(step, args, iters: int) -> float:
     import jax
     import jax.numpy as jnp
 
+    assert iters >= 2, "differenced timing needs iters >= 2"
+
     def _leafsum(tree):
         leaves = [
             jnp.sum(x).astype(jnp.float32)
@@ -260,6 +262,8 @@ def time_match_chunk(chunk_fn, key, lane, I, iters: int) -> float:
     the matching out of the timing loop."""
     import jax
     import jax.numpy as jnp
+
+    assert iters >= 2, "differenced timing needs iters >= 2"
 
     def run(n):
         def body(s, acc):
@@ -351,25 +355,27 @@ def build_geometry_steps(M_loc=1024, M_rows=2048):
     }
 
 
-def composite_keyframes(dt_ba: float, fast: bool = False):
+def composite_keyframes(dt_ba: float, dt_detect: float, dt_chunk: float,
+                        fast: bool = False):
     """Device-time composite of the full EuRoC V1 geometric pipeline.
 
     Every stage kernel is timed steady-state on device at the exact shapes
     the real pipeline dispatches, scaled by the kernel-invocation counts of
-    the full-parity 164/164-camera run (EUROC_WORKLOAD).  This measures
+    the full-parity 164/164-camera run (EUROC_WORKLOAD).  The BA term uses
+    ``dt_ba`` measured at the FINAL-map shape (K=164, L=5528 — see main());
+    charging all 586 iterations at that shape still slightly overstates the
+    cost of the incremental run's earlier, smaller solves.  This measures
     device compute — what the chip sustains with a local host — and
     excludes host bookkeeping (union-find, candidate sorting, Python
     chunking) and the dev-tunnel dispatch latency of this environment;
     RESULTS.md reports both this and end-to-end wall clock.
 
-    Returns (keyframes_per_s, dt_match_chunk, breakdown_seconds).
+    ``dt_detect`` / ``dt_chunk`` are measured by the caller (detection runs
+    in a crash-isolated subprocess on TPU).  Returns
+    (keyframes_per_s, breakdown_seconds).
     """
     w = EUROC_WORKLOAD
     it = 4 if fast else 16
-    step, imgs = build_detect_step()
-    dt_detect = time_devcalls(step, imgs, it)
-    chunk_fn, key, lane, I = build_match_chunk()
-    dt_chunk = time_match_chunk(chunk_fn, key, lane, I, 3 if fast else 8)
     geo = build_geometry_steps()
     # sub-ms kernels can measure negative at the timer's resolution
     # (t_n - t_1 differencing); clamp to zero — they are noise-level anyway
@@ -388,7 +394,7 @@ def composite_keyframes(dt_ba: float, fast: bool = False):
         "ba": w["ba_iters"] * dt_ba,
     }
     total = sum(breakdown.values())
-    return w["images"] / total, dt_chunk, breakdown
+    return w["images"] / total, breakdown
 
 
 def time_iters(lm_step, problem, iters: int, const=None) -> float:
@@ -400,6 +406,8 @@ def time_iters(lm_step, problem, iters: int, const=None) -> float:
     remote-compile service rejects with HTTP 413)."""
     import jax
     import jax.numpy as jnp
+
+    assert iters >= 2, "differenced timing needs iters >= 2"
 
     two_arg = const is not None
 
@@ -437,6 +445,13 @@ def time_iters(lm_step, problem, iters: int, const=None) -> float:
     return (min(t_ns) - min(t_1s)) / (iters - 1)
 
 
+# Bump when any CPU-baseline formulation changes: cached baseline values in
+# runs/cpu_baseline.json are reused only when the version matches, so the
+# slow native-CPU timing subprocess runs once per formulation, not per run.
+CPU_BASELINE_VERSION = 4
+_CPU_CACHE = "runs/cpu_baseline.json"
+
+
 def _cpu_baseline_main():
     """Subprocess entry: time the CPU formulation and print seconds/iter.
 
@@ -445,22 +460,106 @@ def _cpu_baseline_main():
     the TPU process reused compilation-cache entries built with
     accelerator-oriented flags — prefer-no-scatter/no-gather — that execute
     ~5x slower than a native CPU compile, inflating the reported speedup.)
+    Each measurement is individually guarded: one failure must not erase
+    the others (the round-2 lesson, BENCH_r02.json).
     """
     import jax.numpy as jnp
 
-    lm_step, problem = build_step(
-        jnp.float32, use_manual_jac=True, host_plan=True
+    def guard(tag, fn):
+        try:
+            print(tag, fn(), flush=True)
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"{tag}_ERROR", repr(e), flush=True)
+
+    def _ba():
+        lm_step, problem = build_step(
+            jnp.float32, use_manual_jac=True, host_plan=True
+        )
+        return time_iters(lm_step, problem, 8)
+
+    def _pba():
+        pba_step, pba_problem, pba_const = build_pba_step(
+            jnp.float32, use_kernel=False
+        )
+        return time_iters(pba_step, pba_problem, 4, const=pba_const)
+
+    def _match():
+        chunk_fn, key, lane, I = build_match_chunk()
+        return time_match_chunk(chunk_fn, key, lane, I, 3)
+
+    guard("CPU_DT", _ba)
+    guard("CPU_PBA_DT", _pba)
+    guard("CPU_MATCH_DT", _match)
+
+
+def _detect_subproc_main():
+    """Subprocess entry: time the detection batch on this process's backend
+    and print DETECT_DT.  Detection is the one stage that has crashed the
+    XLA:TPU compiler with an uncatchable SIGABRT (BENCH_r02.json); running
+    it in its own process means a recurrence costs one breakdown entry, not
+    the whole benchmark record."""
+    from photometric_bundle_adjustment_tpu.utils.runtime import (
+        enable_compilation_cache,
     )
-    print("CPU_DT", time_iters(lm_step, problem, 8))
-    pba_step, pba_problem, pba_const = build_pba_step(
-        jnp.float32, use_kernel=False
-    )
-    print("CPU_PBA_DT", time_iters(pba_step, pba_problem, 4, const=pba_const))
-    chunk_fn, key, lane, I = build_match_chunk()
-    print("CPU_MATCH_DT", time_match_chunk(chunk_fn, key, lane, I, 3))
+
+    enable_compilation_cache()
+    step, imgs = build_detect_step()
+    print("DETECT_DT", time_devcalls(step, imgs, 16), flush=True)
+
+
+def _cpu_baselines():
+    """CPU-baseline seconds-per-iter dict {ba, pba, match}, NaN on failure.
+
+    Values are cached in runs/cpu_baseline.json (keyed by
+    CPU_BASELINE_VERSION) — the baseline formulation and this host change
+    rarely, and the subprocess is minutes of pure-CPU work.
+    """
+    import os
+    import re
+    import subprocess
+    import sys
+
+    nan = float("nan")
+    try:
+        with open(_CPU_CACHE) as f:
+            cached = json.load(f)
+        if cached.get("version") == CPU_BASELINE_VERSION:
+            return cached["values"]
+    except Exception:
+        pass
+
+    values = {"ba": nan, "pba": nan, "match": nan}
+    try:
+        env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_CPU_BASELINE="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        for tag, key in [("CPU_DT", "ba"), ("CPU_PBA_DT", "pba"),
+                         ("CPU_MATCH_DT", "match")]:
+            m = re.search(rf"{tag} ([0-9.eE+-]+)", out.stdout)
+            if m:
+                values[key] = float(m.group(1))
+    except Exception:
+        return values
+    if all(v == v for v in values.values()):  # only cache complete records
+        try:
+            os.makedirs("runs", exist_ok=True)
+            with open(_CPU_CACHE, "w") as f:
+                json.dump({"version": CPU_BASELINE_VERSION,
+                           "values": values}, f)
+        except Exception:
+            pass
+    return values
 
 
 def main():
+    """Measure and print one JSON line per metric, each the moment it is
+    available (headline geometric-BA metric LAST — single-trailing-line
+    parsers track that series).  Every stage is individually guarded: a
+    Python-level failure yields an {"metric", "error"} line and the run
+    continues; the SIGABRT-prone detection stage additionally runs in its
+    own subprocess so even a compiler crash cannot take out the record."""
     import os
     import re
     import subprocess
@@ -475,88 +574,127 @@ def main():
 
     enable_compilation_cache()
     backend = jax.default_backend()
-    lm_step, problem = build_step(
-        jnp.float32, use_manual_jac=(backend == "cpu"),
-        host_plan=(backend == "cpu"),
-    )
-    dt = time_iters(lm_step, problem, 50 if backend != "cpu" else 8)
-    iters_per_s = 1.0 / dt
+    cpu_mode = backend == "cpu"
+    nan = float("nan")
 
-    pba_step, pba_problem, pba_const = build_pba_step(
-        jnp.float32, use_kernel=(backend != "cpu")
-    )
-    dt_pba = time_iters(
-        pba_step, pba_problem, 30 if backend != "cpu" else 4, const=pba_const
-    )
+    def emit(obj):
+        def clean(v):  # NaN/Inf are not valid strict JSON -> null
+            if isinstance(v, float) and (v != v or v in (float("inf"),
+                                                         float("-inf"))):
+                return None
+            if isinstance(v, dict):
+                return {k: clean(x) for k, x in v.items()}
+            return v
 
-    kf_per_s, dt_chunk, kf_breakdown = composite_keyframes(
-        dt, fast=(backend == "cpu")
-    )
+        print(json.dumps(clean(obj)), flush=True)
 
-    if backend == "cpu":
-        dt_cpu, dt_pba_cpu, dt_chunk_cpu = dt, dt_pba, dt_chunk
-    else:
-        env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_CPU_BASELINE="1")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        m = re.search(r"CPU_DT ([0-9.eE+-]+)", out.stdout)
-        dt_cpu = float(m.group(1)) if m else float("nan")
-        m = re.search(r"CPU_PBA_DT ([0-9.eE+-]+)", out.stdout)
-        dt_pba_cpu = float(m.group(1)) if m else float("nan")
-        m = re.search(r"CPU_MATCH_DT ([0-9.eE+-]+)", out.stdout)
-        dt_chunk_cpu = float(m.group(1)) if m else float("nan")
+    def emit_err(metric, exc):
+        emit({"metric": metric, "error": repr(exc)})
 
-    # matching chunk = 32 pairs of (512 x 512) Hamming best-2-NN + ratio/
-    # cross-check + 128-hypothesis 5-point essential RANSAC
-    print(
-        json.dumps(
-            {
-                "metric": f"match_pairs_per_s_{backend}",
-                "value": round(32.0 / dt_chunk, 1),
-                "unit": "image pairs/s",
-                "vs_baseline": round(dt_chunk_cpu / dt_chunk, 3),
-            }
+    # CPU baselines first: pure-CPU subprocess, cannot crash the TPU path,
+    # and every later metric's vs_baseline needs them.
+    cpu = _cpu_baselines() if not cpu_mode else None
+
+    # ---- matching (the top device-time consumer) ----
+    dt_chunk = nan
+    try:
+        chunk_fn, key, lane, I = build_match_chunk()
+        dt_chunk = time_match_chunk(chunk_fn, key, lane, I,
+                                    3 if cpu_mode else 8)
+        dt_chunk_cpu = dt_chunk if cpu_mode else cpu["match"]
+        # matching chunk = 32 pairs of (512 x 512) Hamming best-2-NN +
+        # ratio/cross-check + 128-hypothesis 5-point essential RANSAC
+        emit({
+            "metric": f"match_pairs_per_s_{backend}",
+            "value": round(32.0 / dt_chunk, 1),
+            "unit": "image pairs/s",
+            "vs_baseline": round(dt_chunk_cpu / dt_chunk, 3),
+        })
+    except Exception as e:
+        emit_err(f"match_pairs_per_s_{backend}", e)
+
+    # ---- photometric BA (flagship kernel) ----
+    try:
+        pba_step, pba_problem, pba_const = build_pba_step(
+            jnp.float32, use_kernel=not cpu_mode
         )
-    )
-    # reference binary end-to-end on this host: 164 images / 72.6 s =
-    # 2.26 images/s (BASELINE.md "MEASURED reference baseline"); ours is the
-    # device-compute composite of the same workload (see composite_keyframes)
-    print(
-        json.dumps(
-            {
-                "metric": f"keyframes_per_s_{backend}",
-                "value": round(kf_per_s, 2),
-                "unit": "images/s (device-time composite, EuRoC V1 workload)",
-                "vs_baseline": round(kf_per_s / 2.26, 2),
-                "breakdown_s": {
-                    k: round(v, 3) for k, v in kf_breakdown.items()
-                },
-            }
+        dt_pba = time_iters(pba_step, pba_problem,
+                            30 if not cpu_mode else 4, const=pba_const)
+        dt_pba_cpu = dt_pba if cpu_mode else cpu["pba"]
+        emit({
+            "metric": f"pba_lm_iters_per_s_{backend}",
+            "value": round(1.0 / dt_pba, 3),
+            "unit": "iters/s",
+            "vs_baseline": round(dt_pba_cpu / dt_pba, 3),
+        })
+    except Exception as e:
+        emit_err(f"pba_lm_iters_per_s_{backend}", e)
+
+    # ---- geometric BA (headline; printed last) ----
+    dt = nan
+    headline = None
+    try:
+        lm_step, problem = build_step(
+            jnp.float32, use_manual_jac=cpu_mode, host_plan=cpu_mode,
         )
-    )
-    print(
-        json.dumps(
-            {
-                "metric": f"pba_lm_iters_per_s_{backend}",
-                "value": round(1.0 / dt_pba, 3),
-                "unit": "iters/s",
-                "vs_baseline": round(dt_pba_cpu / dt_pba, 3),
-            }
+        dt = time_iters(lm_step, problem, 50 if not cpu_mode else 8)
+        dt_cpu = dt if cpu_mode else cpu["ba"]
+        headline = {
+            "metric": f"ba_lm_iters_per_s_{backend}",
+            "value": round(1.0 / dt, 3),
+            "unit": "iters/s",
+            "vs_baseline": round(dt_cpu / dt, 3),
+        }
+    except Exception as e:
+        headline = {"metric": f"ba_lm_iters_per_s_{backend}",
+                    "error": repr(e)}
+
+    # ---- composite keyframes/s ----
+    try:
+        # BA term at the FINAL-map shape of the real run (164 cams, 5528
+        # landmarks, ~29k obs) — charging the synthetic K=200/L=8192 shape
+        # overstated the BA share (round-2 advisor finding).
+        lm_step_f, problem_f = build_step(
+            jnp.float32, use_manual_jac=cpu_mode, host_plan=cpu_mode,
+            K=164, L=5528,
         )
-    )
-    # headline metric LAST (single-trailing-line parsers track this series)
-    print(
-        json.dumps(
-            {
-                "metric": f"ba_lm_iters_per_s_{backend}",
-                "value": round(iters_per_s, 3),
-                "unit": "iters/s",
-                "vs_baseline": round(dt_cpu / dt, 3),
-            }
+        dt_ba_final = time_iters(lm_step_f, problem_f,
+                                 50 if not cpu_mode else 8)
+
+        if cpu_mode:
+            step, imgs = build_detect_step()
+            dt_detect = time_devcalls(step, imgs, 4)
+        else:
+            env = dict(os.environ, BENCH_DETECT_SUBPROC="1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+            m = re.search(r"DETECT_DT ([0-9.eE+-]+)", out.stdout)
+            if m:
+                dt_detect = float(m.group(1))
+            else:
+                emit({"metric": "detect_batch_s",
+                      "error": (out.stderr or out.stdout)[-400:]})
+                dt_detect = nan
+
+        kf_per_s, kf_breakdown = composite_keyframes(
+            dt_ba_final, dt_detect, dt_chunk, fast=cpu_mode
         )
-    )
+        # reference binary end-to-end on this host: 164 images / 72.6 s =
+        # 2.26 images/s (BASELINE.md "MEASURED reference baseline"); ours is
+        # the device-compute composite of the same workload
+        emit({
+            "metric": f"keyframes_per_s_{backend}",
+            "value": round(kf_per_s, 2),
+            "unit": "images/s (device-time composite, EuRoC V1 workload)",
+            "vs_baseline": round(kf_per_s / 2.26, 2),
+            "breakdown_s": {k: round(v, 3) for k, v in kf_breakdown.items()},
+        })
+    except Exception as e:
+        emit_err(f"keyframes_per_s_{backend}", e)
+
+    emit(headline)
 
 
 if __name__ == "__main__":
@@ -564,5 +702,7 @@ if __name__ == "__main__":
 
     if _os.environ.get("BENCH_CPU_BASELINE"):
         _cpu_baseline_main()
+    elif _os.environ.get("BENCH_DETECT_SUBPROC"):
+        _detect_subproc_main()
     else:
         main()

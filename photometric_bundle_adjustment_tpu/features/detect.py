@@ -55,6 +55,27 @@ def shi_tomasi_score(img: jax.Array, block_size: int = 3) -> jax.Array:
     return 0.5 * (tr - det_part)
 
 
+def _window_max2d(score: jax.Array, r: int) -> jax.Array:
+    """Sliding (2r+1)^2 max of a non-negative (H, W) map via separable
+    shifted maxima (no lax.reduce_window — see NMS comment below)."""
+
+    def axis_max(x, axis):
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (r, r)
+        xp = jnp.pad(x, pad)
+        n = x.shape[axis]
+        out = x
+        for s in range(2 * r + 1):
+            if s == r:
+                continue
+            sl = [slice(None), slice(None)]
+            sl[axis] = slice(s, s + n)
+            out = jnp.maximum(out, xp[tuple(sl)])
+        return out
+
+    return axis_max(axis_max(score, 0), 1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_features", "min_distance", "edge_threshold")
 )
@@ -103,15 +124,15 @@ def detect_keypoints(
     # window NMS: keep local maxima of a (2r+1)^2 neighbourhood.  OpenCV's
     # greedy NMS keeps corners >= min_distance apart but retains the denser
     # of two nearby peaks; radius min_distance/2 reproduces its density.
+    # Formulated as a separable shifted-max (2x(2r) jnp.maximum over padded
+    # slices) rather than lax.reduce_window: the overlapping-window
+    # reduce_window intermittently hits an XLA:TPU fusion_emitter CHECK
+    # (window_bounds != strides SIGABRT, BENCH_r02.json), and the shifted
+    # maxima fuse into the same elementwise pipeline anyway.  Scores are
+    # >= 0 here (edge + quality gates above zero everything else), so 0.0
+    # is a neutral pad value.
     r = max(1, int(min_distance) // 2)
-    local_max = jax.lax.reduce_window(
-        score,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(2 * r + 1, 2 * r + 1),
-        window_strides=(1, 1),
-        padding="SAME",
-    )
+    local_max = _window_max2d(score, r)
     is_peak = (score == local_max) & (score > 0.0)
     masked = jnp.where(is_peak, score, 0.0)
 

@@ -131,6 +131,24 @@ def _constraint_matrix(Ebasis):
 # ---------------------------------------------------------------------------
 
 
+def poly_mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Product of two 1-D polynomial coefficient vectors (tiny static
+    lengths), as an unrolled pad-and-add.
+
+    ``jnp.convolve`` lowers to a reversed-window convolution that
+    intermittently SIGABRTs the XLA:TPU compiler
+    (fusion_emitter.cc:4273 ``window_bounds != strides`` CHECK inside
+    ``ReverseInput::TransformWindow`` — the BENCH_r02/r03 crash); for the
+    <= 8-coefficient polynomials of the minimal solvers this formulation
+    fuses identically and avoids windowed ops entirely.
+    """
+    la, lb = a.shape[0], b.shape[0]
+    out = jnp.zeros(la + lb - 1, jnp.result_type(a, b))
+    for i in range(la):
+        out = out + jnp.pad(a[i] * b, (i, la - 1 - i))
+    return out
+
+
 def _action_polynomials(A):
     """A: (10, 20) constraint matrix.  Returns the 3x3 polynomial matrix
     B(z) as (Bxy (3, 2, 4), Bc (3, 5)) — column coefficients in DESCENDING
@@ -162,16 +180,13 @@ def _action_polynomials(A):
     By = jnp.stack([r[1] for r in rows])  # (3, 4)
     Bc = jnp.stack([r[2] for r in rows])  # (3, 5)
 
-    def conv(a, b):
-        return jnp.convolve(a, b)
-
     # det expansion along the x-column
     def minor(r1, r2):
-        return conv(By[r1], Bc[r2]) - conv(By[r2], Bc[r1])  # (8,)
+        return poly_mul(By[r1], Bc[r2]) - poly_mul(By[r2], Bc[r1])  # (8,)
 
-    det = (conv(Bx[0], minor(1, 2))
-           - conv(Bx[1], minor(0, 2))
-           + conv(Bx[2], minor(0, 1)))  # (11,) descending z^10 .. z^0
+    det = (poly_mul(Bx[0], minor(1, 2))
+           - poly_mul(Bx[1], minor(0, 2))
+           + poly_mul(Bx[2], minor(0, 1)))  # (11,) descending z^10 .. z^0
 
     return jnp.stack([Bx, By], axis=1), Bc, det
 
@@ -193,7 +208,14 @@ def _eval_homog(coeffs, s, c):
     coeffs: (..., D+1) descending; s, c: (...,).
     """
     D = coeffs.shape[-1] - 1
-    sp = _powers(s, D)[..., ::-1]   # s^D .. s^0
+    # stack s-powers DESCENDING at trace time rather than reversing at
+    # runtime: a [..., ::-1] slice emits stablehlo.reverse, which the
+    # XLA:TPU fusion emitter intermittently SIGABRTs on when fused
+    # (fusion_emitter.cc:4273 window CHECK — same class as poly_mul's note)
+    ps = [jnp.ones_like(s)]
+    for _ in range(D):
+        ps.append(ps[-1] * s)
+    sp = jnp.stack(ps[::-1], axis=-1)  # s^D .. s^0 (Python-list reverse)
     cp = _powers(c, D)              # c^0 .. c^D
     return jnp.sum(coeffs * sp * cp, axis=-1)
 

@@ -155,9 +155,14 @@ def p3p_candidates(f: jax.Array, Pw: jax.Array):
     Q = jnp.stack([-2.0 * ca, 2.0 * cg])                      # desc v..1
     W = jnp.stack([-n, 2.0 * n * cb, 1.0 - n])
 
-    quart = (jnp.convolve(P, P)
-             - 2.0 * cg * jnp.pad(jnp.convolve(P, Q), (1, 0))
-             + jnp.convolve(W, jnp.convolve(Q, Q)))           # (5,) desc
+    # poly_mul, not jnp.convolve: the reversed-window conv lowering
+    # intermittently SIGABRTs the XLA:TPU fusion emitter (see
+    # features/nister.py poly_mul)
+    from photometric_bundle_adjustment_tpu.features.nister import poly_mul
+
+    quart = (poly_mul(P, P)
+             - 2.0 * cg * jnp.pad(poly_mul(P, Q), (1, 0))
+             + poly_mul(W, poly_mul(Q, Q)))                   # (5,) desc
 
     v, vvalid = quartic_real_roots(quart)
 

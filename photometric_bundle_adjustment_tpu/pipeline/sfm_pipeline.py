@@ -1173,10 +1173,15 @@ class SfmPipeline:
         path = self.params_file
         if not path or not os.path.exists(path):
             return
-        mtime = os.stat(path).st_mtime
-        if mtime == self._params_mtime:
+        # (mtime, size) stamp: a rewrite landing within the filesystem's
+        # timestamp granularity is still picked up when the length changes.
+        # Writers should replace the file atomically (write temp + rename);
+        # a torn read is caught by the JSON-error retry path below.
+        st = os.stat(path)
+        stamp = (st.st_mtime, st.st_size)
+        if stamp == self._params_mtime:
             return
-        self._params_mtime = mtime
+        self._params_mtime = stamp
         try:
             with open(path) as f:
                 new = json.load(f)
@@ -1191,11 +1196,23 @@ class SfmPipeline:
                 self.log(f"params-file: unknown parameter {k!r} ignored")
                 continue
             old = getattr(self.cfg, k)
-            try:
-                v = type(old)(v)
-            except (TypeError, ValueError):
-                self.log(f"params-file: bad value for {k!r} ignored: {v!r}")
-                continue
+            if isinstance(old, bool):
+                # type(old)(v) would coerce the string "false" to True;
+                # bool fields accept only JSON true/false
+                if not isinstance(v, bool):
+                    self.log(
+                        f"params-file: non-boolean value for {k!r} "
+                        f"ignored: {v!r}"
+                    )
+                    continue
+            else:
+                try:
+                    v = type(old)(v)
+                except (TypeError, ValueError):
+                    self.log(
+                        f"params-file: bad value for {k!r} ignored: {v!r}"
+                    )
+                    continue
             if v != old:
                 setattr(self.cfg, k, v)
                 changed.append(f"{k}: {old} -> {v}")
