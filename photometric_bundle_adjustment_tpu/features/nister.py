@@ -149,20 +149,58 @@ def poly_mul(a: jax.Array, b: jax.Array) -> jax.Array:
     return out
 
 
+def _gauss_jordan_inv(A: jax.Array) -> jax.Array:
+    """Inverse of a small (n, n) matrix by Gauss-Jordan elimination with
+    partial (row) pivoting, unrolled over the n static steps.
+
+    Pivot rows are SELECTED rather than swapped: step k picks the unused
+    row with the largest |column-k| entry, eliminates column k from every
+    other row, and records the choice; the inverse is recovered at the end
+    by one gather.  Each step is a handful of fully batched elementwise
+    ops, so under vmap the whole inversion is n rank-1 updates on a
+    (batch, n, 2n) tensor — the TPU-friendly shape for the 4096 10x10
+    systems per RANSAC chunk.
+    """
+    n = A.shape[0]
+    dtype = A.dtype
+    tiny = jnp.finfo(dtype).tiny
+    aug = jnp.concatenate([A, jnp.eye(n, dtype=dtype)], axis=1)  # (n, 2n)
+    rows = jnp.arange(n)
+    used = jnp.zeros(n, bool)
+    perm = []
+    for k in range(n):
+        cand = jnp.where(used, -1.0, jnp.abs(aug[:, k]))
+        p = jnp.argmax(cand)
+        piv_row = aug[p]
+        piv = piv_row[k]
+        piv_row = piv_row / jnp.where(jnp.abs(piv) > tiny, piv,
+                                      jnp.where(piv < 0, -tiny, tiny))
+        factors = jnp.where(rows == p, 0.0, aug[:, k])
+        aug = aug - factors[:, None] * piv_row[None, :]
+        aug = jnp.where((rows == p)[:, None], piv_row[None, :], aug)
+        used = used | (rows == p)
+        perm.append(p)
+    # row p_k of the final right block holds row k of A^{-1}
+    return jnp.take(aug[:, n:], jnp.stack(perm), axis=0)
+
+
 def _action_polynomials(A):
     """A: (10, 20) constraint matrix.  Returns the 3x3 polynomial matrix
     B(z) as (Bxy (3, 2, 4), Bc (3, 5)) — column coefficients in DESCENDING
     powers — and the degree-10 determinant coefficients (11,) descending.
     """
     A1, A2 = A[:, :10], A[:, 10:]
-    # factor once, solve twice (jnp.linalg.solve would re-factor A1 for
-    # the refinement step — the LU is the expensive part at 10x10)
-    lu_piv = jax.scipy.linalg.lu_factor(A1)
-    X = jax.scipy.linalg.lu_solve(lu_piv, A2)  # (10, 10)
+    # invert once via Gauss-Jordan, then apply by matmul (MXU): the
+    # pivoted LU factor + four triangular solves cost ~50 sequential
+    # masked steps at 10x10 and were 75% of the whole 5-point solver on
+    # the v5e (scripts/profile_nister.py); the GJ inverse is 10 steps of
+    # batched rank-1 updates and the solves become batched matmuls.
+    A1inv = _gauss_jordan_inv(A1)
+    X = A1inv @ A2  # (10, 10)
     # one iterative-refinement step: the elimination is the f32 accuracy
     # bottleneck (median candidate error 8e-5 -> the refined residual is
-    # what the RANSAC scoring sees); costs one extra triangular solve
-    X = X + jax.scipy.linalg.lu_solve(lu_piv, A2 - A1 @ X)
+    # what the RANSAC scoring sees); costs two extra 10x10 matmuls
+    X = X + A1inv @ (A2 - A1 @ X)
 
     # leading-monomial indices in L: x^2=5, x^2 z=4; y^2=7, y^2 z=6;
     # x y=9, x y z=8.  Row for pair (m, mz): z*expr(m) - expr(mz) = 0.
