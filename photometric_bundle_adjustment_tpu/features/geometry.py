@@ -85,16 +85,55 @@ def reprojection_angle_error(
     return e0 + e1
 
 
+def _cofactor3(A: jax.Array) -> jax.Array:
+    """Cofactor matrix of a 3x3: rows are cross products of row pairs
+    (cof(A) = adj(A)^T; A @ adj(A) = det(A) I)."""
+    return jnp.stack([
+        jnp.cross(A[1], A[2]),
+        jnp.cross(A[2], A[0]),
+        jnp.cross(A[0], A[1]),
+    ])
+
+
+def _orthonormalize_rows(R: jax.Array) -> jax.Array:
+    """Project a near-rotation onto SO(3) by row Gram-Schmidt + cross."""
+    eps = jnp.asarray(1e-30, R.dtype)
+    r0 = R[0] / jnp.maximum(jnp.linalg.norm(R[0]), eps)
+    r1 = R[1] - jnp.dot(R[1], r0) * r0
+    r1 = r1 / jnp.maximum(jnp.linalg.norm(r1), eps)
+    r2 = jnp.cross(r0, r1)
+    return jnp.stack([r0, r1, r2])
+
+
 def decompose_essential(E: jax.Array):
-    """E -> 4 candidate relative poses (R, t), each (4, 3, 3) / (4, 3)."""
-    U, _, Vt = jnp.linalg.svd(E)
-    # enforce proper rotations
-    U = U * jnp.sign(jnp.linalg.det(U))
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
-    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
-    Ra = U @ W @ Vt
-    Rb = U @ W.T @ Vt
-    t = U[:, 2]
+    """E -> 4 candidate relative poses (R, t), each (4, 3, 3) / (4, 3).
+
+    Closed-form, SVD-free: for a true essential matrix E = [t]_x R with
+    unit singular values, t is the unit left-null vector (computed as the
+    largest cross product of column pairs) and R = cof(E) - [t]_x E
+    (adj(AB) = adj(B) adj(A) with adj([t]_x) = t t^T gives
+    cof(E) = t t^T R, and [t]_x [t]_x = t t^T - I).  Decomposing -E gives
+    the second rotation; the sign ambiguity of t enumerates the rest —
+    exactly the four SVD candidates U W^(T) V^T, (+-)u3.  Batched small
+    SVDs are iterative Jacobi sweeps on TPU and dominated the RANSAC
+    scoring stage; this is a handful of fused elementwise ops.  Inputs
+    only approximately essential (polynomial-solver candidates) get a
+    final Gram-Schmidt projection onto SO(3).
+    """
+    dtype = E.dtype
+    eps = jnp.asarray(1e-30, dtype)
+    # scale to unit nonzero singular values: ||E||_F^2 = 2 for essential
+    En = E * jnp.sqrt(2.0 / jnp.maximum(jnp.sum(E * E), eps))
+    c0, c1, c2 = En[:, 0], En[:, 1], En[:, 2]
+    cand = jnp.stack([jnp.cross(c0, c1), jnp.cross(c1, c2),
+                      jnp.cross(c2, c0)])
+    norms = jnp.linalg.norm(cand, axis=1)
+    t = cand[jnp.argmax(norms)]
+    t = t / jnp.maximum(jnp.linalg.norm(t), eps)
+    cof = _cofactor3(En)
+    SE = skew(t) @ En
+    Ra = _orthonormalize_rows(cof - SE)
+    Rb = _orthonormalize_rows(cof + SE)
     Rs = jnp.stack([Ra, Ra, Rb, Rb])
     ts = jnp.stack([t, -t, t, -t])
     return Rs, ts

@@ -258,13 +258,37 @@ def _eval_homog(coeffs, s, c):
     return jnp.sum(coeffs * sp * cp, axis=-1)
 
 
-def real_roots(coeffs, max_roots, n_grid=512, n_bisect=48):
+def _eval_homog_deriv(coeffs, s, c):
+    """d/dtheta of the homogeneous evaluation at (s, c) = (sin, cos)theta:
+    d/dtheta [s^(D-i) c^i] = (D-i) s^(D-i-1) c^(i+1) - i s^(D-i+1) c^(i-1).
+    """
+    D = coeffs.shape[-1] - 1
+    ps = [jnp.ones_like(s)]
+    for _ in range(D + 1):
+        ps.append(ps[-1] * s)
+    cs = [jnp.ones_like(c)]
+    for _ in range(D + 1):
+        cs.append(cs[-1] * c)
+    terms = []
+    for i in range(D + 1):
+        t1 = (D - i) * ps[D - i - 1] * cs[i + 1] if i < D else 0.0
+        t2 = i * ps[D - i + 1] * cs[i - 1] if i > 0 else 0.0
+        terms.append(t1 - t2)
+    dv = jnp.stack(terms, axis=-1)
+    return jnp.sum(coeffs * dv, axis=-1)
+
+
+def real_roots(coeffs, max_roots, n_grid=512, n_bisect=20, n_newton=3):
     """Up to ``max_roots`` real roots of a polynomial (coeffs DESCENDING).
 
     Returns (roots (max_roots,), valid (max_roots,)).  Projective
-    theta-grid (z = tan theta) + homogeneous evaluation + fixed bisection;
-    fully fixed-shape, no ``eig`` — usable inside vmap/jit on TPU.
-    Shared by the 5-point (degree 10) and P3P (degree 4) solvers.
+    theta-grid (z = tan theta) + homogeneous evaluation + fixed bisection
+    + Newton polish in theta; fully fixed-shape, no ``eig`` — usable
+    inside vmap/jit on TPU.  Shared by the 5-point (degree 10) and P3P
+    (degree 4) solvers.  20 bisections narrow the ~6e-3-wide grid
+    bracket to ~6e-9 and each Newton step then squares the error —
+    equivalent to the previous 48 pure bisections at ~half the
+    sequential-step count (the stage is latency-bound on TPU).
     """
     dtype = coeffs.dtype
     scale = jnp.max(jnp.abs(coeffs))
@@ -291,13 +315,55 @@ def real_roots(coeffs, max_roots, n_grid=512, n_bisect=48):
                 jnp.where(left, qm, qlo))
 
     lo, hi, _ = jax.lax.fori_loop(0, n_bisect, body, (lo, hi, qlo))
-    roots = jnp.tan(0.5 * (lo + hi))
+    th = 0.5 * (lo + hi)
+
+    def newton(_, th):
+        s, c = jnp.sin(th), jnp.cos(th)
+        f = _eval_homog(det, s, c)
+        fp = _eval_homog_deriv(det, s, c)
+        step = f / jnp.where(jnp.abs(fp) > jnp.finfo(dtype).tiny, fp,
+                             jnp.finfo(dtype).max)
+        # keep the iterate inside the bisection bracket (safeguarded)
+        return jnp.clip(th - step, lo, hi)
+
+    th = jax.lax.fori_loop(0, n_newton, newton, th)
+    roots = jnp.tan(th)
     return roots, valid
 
 
 # ---------------------------------------------------------------------------
 # public solver
 # ---------------------------------------------------------------------------
+
+
+def _null4_of_5x9(Q: jax.Array) -> jax.Array:
+    """Orthonormal basis (4, 9) of null(Q) for full-rank Q (5, 9), by 5
+    unrolled Householder reflectors on Q^T.
+
+    With Q^T = H1 H2 .. H5 [R; 0], the last 4 columns of H1 .. H5 (i.e.
+    the reflectors applied to e_5..e_8) are orthonormal and annihilated
+    by Q.  Each reflector is one masked norm + rank-1 update — fully
+    batched under vmap, no library QR kernels.
+    """
+    dtype = Q.dtype
+    tiny = jnp.finfo(dtype).tiny
+    A = Q.T  # (9, 5)
+    n = A.shape[0]
+    rows = jnp.arange(n)
+    vs = []
+    for k in range(5):
+        x = jnp.where(rows >= k, A[:, k], 0.0)
+        nx = jnp.linalg.norm(x)
+        # alpha = -sign(x_k) * ||x|| avoids cancellation
+        alpha = -jnp.where(x[k] >= 0, nx, -nx)
+        v = x - alpha * (rows == k).astype(dtype)
+        v = v / jnp.maximum(jnp.linalg.norm(v), tiny)
+        A = A - 2.0 * jnp.outer(v, v @ A)
+        vs.append(v)
+    N = jnp.zeros((n, 4), dtype).at[5:, :].set(jnp.eye(4, dtype=dtype))
+    for v in reversed(vs):  # N = H1 .. H5 [e5..e8]
+        N = N - 2.0 * jnp.outer(v, v @ N)
+    return N.T
 
 
 def five_point_candidates(f0: jax.Array, f1: jax.Array):
@@ -314,15 +380,15 @@ def five_point_candidates(f0: jax.Array, f1: jax.Array):
     """
     dtype = f0.dtype
     Q = jnp.einsum("ni,nj->nij", f0, f1).reshape(5, 9)
-    # nullspace of the 5x9 constraint via COMPLETE QR of Q^T: columns 5..8
-    # of the (9, 9) orthogonal factor span null(Q).  Householder QR is the
-    # cheap batched factorisation on TPU — swapping out the batched SVD
-    # cut this stage from 35.4 to (see scripts/profile_nister.py) ms per
-    # 4096-sample batch; any orthonormal nullspace basis serves, since the
-    # x E1 + y E2 + z E3 + E4 parameterisation only needs E4's coefficient
-    # in the true E to be generically nonzero.
-    Qf, _ = jnp.linalg.qr(Q.T, mode="complete")   # (9, 9)
-    Ebasis = Qf[:, 5:9].T.reshape(4, 3, 3)        # [E1, E2, E3, E4]
+    # nullspace of the 5x9 constraint via 5 unrolled Householder
+    # reflectors on Q^T (columns 5..8 of the implicit complete-QR factor
+    # span null(Q)).  The generic jnp.linalg.qr(mode="complete") pair
+    # (geqrf + orgqr) forms the full 9x9 factor through two library
+    # kernels; this inline version is ~10 rank-1 updates that fuse into
+    # the surrounding program.  Any orthonormal nullspace basis serves,
+    # since the x E1 + y E2 + z E3 + E4 parameterisation only needs E4's
+    # coefficient in the true E to be generically nonzero.
+    Ebasis = _null4_of_5x9(Q).reshape(4, 3, 3)    # [E1, E2, E3, E4]
 
     A = _constraint_matrix(Ebasis)
     Bxy, Bc, det = _action_polynomials(A)

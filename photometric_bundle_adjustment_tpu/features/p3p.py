@@ -107,19 +107,38 @@ def quartic_real_roots(coeffs):
     return roots, valid
 
 
-def _procrustes_3pt(Pw, Pc):
+def _triad(P, tiny):
+    """Right-handed orthonormal frame (columns) spanned by a 3-point set:
+    x along P1-P0, z along the triangle normal, y completing.  Returns
+    (B (3, 3), ok) — ok False when the points are (near-)collinear."""
+    d1 = P[1] - P[0]
+    d2 = P[2] - P[0]
+    n1 = jnp.linalg.norm(d1)
+    x = d1 / jnp.maximum(n1, tiny)
+    zraw = jnp.cross(d1, d2)
+    nz = jnp.linalg.norm(zraw)
+    z = zraw / jnp.maximum(nz, tiny)
+    y = jnp.cross(z, x)
+    ok = nz > 1e-9 * n1 * jnp.linalg.norm(d2)
+    return jnp.stack([x, y, z], axis=1), ok
+
+
+def _rigid_3pt(Pw, Pc, tiny):
     """Rigid T_c_w aligning 3 world points Pw (3, 3) onto camera points
-    Pc (3, 3): returns (R, t) with Pc ~= R Pw + t."""
+    Pc (3, 3): returns (R, t, ok) with Pc ~= R Pw + t.
+
+    The P3P distance roots make the two triangles congruent up to
+    roundoff, so the alignment is the exact frame-to-frame rotation
+    between the two triangle triads — no SVD.  (The earlier 3x3-SVD
+    Procrustes was 2048 batched Jacobi SVDs per localize call and ~70%
+    of the kernel's device time, scripts/profile_localize.py.)"""
+    Bw, okw = _triad(Pw, tiny)
+    Bc, okc = _triad(Pc, tiny)
+    R = Bc @ Bw.T
     cw = Pw.mean(0)
     cc = Pc.mean(0)
-    H = (Pc - cc).T @ (Pw - cw)
-    U, _, Vt = jnp.linalg.svd(H)
-    d = jnp.linalg.det(U @ Vt)
-    S = jnp.diag(jnp.array([1.0, 1.0, 0.0], H.dtype)
-                 + jnp.array([0.0, 0.0, 1.0], H.dtype) * d)
-    R = U @ S @ Vt
     t = cc - R @ cw
-    return R, t
+    return R, t, okw & okc
 
 
 def p3p_candidates(f: jax.Array, Pw: jax.Array):
@@ -174,8 +193,8 @@ def p3p_candidates(f: jax.Array, Pw: jax.Array):
         s1 = jnp.sqrt(jnp.maximum(s1sq, 0.0))
         s = jnp.stack([s1, u * s1, vr * s1])
         Pc = s[:, None] * f                      # camera-frame points
-        R, t = _procrustes_3pt(Pw, Pc)
-        ok = (s > 0.0).all()                     # points in front
+        R, t, ok_geom = _rigid_3pt(Pw, Pc, tiny)
+        ok = (s > 0.0).all() & ok_geom           # points in front
         return R, t, ok
 
     Rs, ts, oks = jax.vmap(pose_of_root)(v)
