@@ -48,21 +48,63 @@ def _gather_pixels(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     return img[yc, xc]
 
 
+def _shifted(m: jax.Array, axis: int, o: int, r: int) -> jax.Array:
+    """Zero-padded shift: out(p) = m(p + o along axis), |o| <= r."""
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    xp = jnp.pad(m, pad)
+    sl = [slice(None), slice(None)]
+    sl[axis] = slice(r + o, r + o + m.shape[axis])
+    return xp[tuple(sl)]
+
+
+def centroid_moment_maps(img: jax.Array):
+    """Dense intensity-centroid moments over the radius-15 disc: (H, W)
+    maps m10(p) = sum_disc dx * I(p + d), m01 analogously.
+
+    The per-keypoint formulation gathered 709 disc taps per corner
+    (8.5 M scalar gathers per 8-image batch — 103 ms on the v5e, the
+    whole detection stage's dominant cost); computing the moments densely
+    needs ~120 fused shift-adds on the VPU and then TWO gathers per
+    corner.  The integer disc {x^2 + y^2 <= 225} is symmetric, so the
+    column (row) extent at offset d is yb(d) = floor(sqrt(225 - d^2)) in
+    both orientations; centered box sums are built incrementally over the
+    half-height.  Out-of-image taps read as zero (the reference's corners
+    are >= EDGE_THRESHOLD = 19 px from the border, so no real corner is
+    affected)."""
+    img = img.astype(jnp.float32)
+    R = HALF_PATCH_SIZE
+    yb = [int(np.sqrt(R * R - d * d)) for d in range(R + 1)]
+
+    def centered_boxes(axis):
+        """{b: sum of shifts -b..b along axis} built incrementally."""
+        out = {0: img}
+        acc = img
+        for b in range(1, R + 1):
+            acc = acc + _shifted(img, axis, b, R) + _shifted(img, axis, -b, R)
+            out[b] = acc
+        return out
+
+    colbox = centered_boxes(0)  # vertical extent (for m10's dx columns)
+    rowbox = centered_boxes(1)  # horizontal extent (for m01's dy rows)
+    m10 = jnp.zeros_like(img)
+    m01 = jnp.zeros_like(img)
+    for d in range(1, R + 1):
+        cb = colbox[yb[d]]
+        m10 = m10 + d * (_shifted(cb, 1, d, R) - _shifted(cb, 1, -d, R))
+        rb = rowbox[yb[d]]
+        m01 = m01 + d * (_shifted(rb, 0, d, R) - _shifted(rb, 0, -d, R))
+    return m10, m01
+
+
 @jax.jit
 def compute_angles(img: jax.Array, uv: jax.Array) -> jax.Array:
     """Intensity-centroid orientation, (N,) radians (keypoints.h:151-180)."""
-    img = img.astype(jnp.float32)
+    m10, m01 = centroid_moment_maps(img)
     cx = uv[:, 0].astype(jnp.int32)  # truncation, as the reference's int cast
     cy = uv[:, 1].astype(jnp.int32)
-    dx = DISC_OFFSETS[:, 0]
-    dy = DISC_OFFSETS[:, 1]
-    # (N, D) patch of intensities
-    px = cx[:, None] + dx[None, :]
-    py = cy[:, None] + dy[None, :]
-    vals = _gather_pixels(img, px, py)
-    m10 = jnp.sum(dx[None, :] * vals, axis=1)
-    m01 = jnp.sum(dy[None, :] * vals, axis=1)
-    return jnp.arctan2(m01, m10)
+    return jnp.arctan2(_gather_pixels(m01, cx, cy),
+                       _gather_pixels(m10, cx, cy))
 
 
 @jax.jit

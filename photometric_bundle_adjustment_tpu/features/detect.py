@@ -27,29 +27,48 @@ import jax.numpy as jnp
 EDGE_THRESHOLD = 19  # keypoints.h:51
 
 
-def _conv2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Same-padding 2D convolution on a single-channel image."""
-    return jax.lax.conv_general_dilated(
-        img[None, None, :, :],
-        kernel[None, None, :, :],
-        window_strides=(1, 1),
-        padding="SAME",
-    )[0, 0]
+def conv1d_shift(x: jax.Array, taps, axis: int) -> jax.Array:
+    """Zero-padded 1-D correlation along ``axis`` of a 2-D map, as an
+    unrolled shift-multiply-add over ``taps`` [(offset, weight), ...].
+
+    Single-channel ``conv_general_dilated`` pads the feature dimension to
+    an MXU tile and wastes 127/128 of the array (the 3x3 conv stack
+    measured 37 ms / 8 EuRoC images on the v5e); shifted elementwise
+    maths runs on the VPU at memory bandwidth and fuses with its
+    neighbours.  out(p) = sum_k w_k * x(p + o_k along axis).
+    """
+    r = max(abs(o) for o, _ in taps)
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    xp = jnp.pad(x, pad)
+    n = x.shape[axis]
+    out = None
+    for o, w in taps:
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(r + o, r + o + n)
+        term = w * xp[tuple(sl)]
+        out = term if out is None else out + term
+    return out
 
 
 def shi_tomasi_score(img: jax.Array, block_size: int = 3) -> jax.Array:
-    """Min-eigenvalue corner response (H, W)."""
+    """Min-eigenvalue corner response (H, W).
+
+    Sobel and box filters are separable; each factor runs as a
+    zero-padded shift-add pass (identical result to the zero-padded 2-D
+    convolutions, including borders, since the 2-D kernels are outer
+    products)."""
     img = img.astype(jnp.float32)
-    sobel_x = jnp.array(
-        [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32
-    ) / 8.0
-    sobel_y = sobel_x.T
-    ix = _conv2d(img, sobel_x)
-    iy = _conv2d(img, sobel_y)
-    box = jnp.ones((block_size, block_size), jnp.float32)
-    ixx = _conv2d(ix * ix, box)
-    iyy = _conv2d(iy * iy, box)
-    ixy = _conv2d(ix * iy, box)
+    smooth = [(-1, 0.25), (0, 0.5), (1, 0.25)]   # [1, 2, 1] / 4
+    diff = [(-1, -0.5), (1, 0.5)]                # [-1, 0, 1] / 2
+    # sobel/8 = smooth/4 (cross axis) * diff/2 (grad axis)
+    ix = conv1d_shift(conv1d_shift(img, smooth, 0), diff, 1)
+    iy = conv1d_shift(conv1d_shift(img, smooth, 1), diff, 0)
+    r = block_size // 2
+    box = [(o, 1.0) for o in range(-r, r + 1)]
+    ixx = conv1d_shift(conv1d_shift(ix * ix, box, 0), box, 1)
+    iyy = conv1d_shift(conv1d_shift(iy * iy, box, 0), box, 1)
+    ixy = conv1d_shift(conv1d_shift(ix * iy, box, 0), box, 1)
     tr = ixx + iyy
     det_part = jnp.sqrt(jnp.maximum((ixx - iyy) ** 2 + 4.0 * ixy * ixy, 0.0))
     return 0.5 * (tr - det_part)
