@@ -35,6 +35,7 @@ def test_build_pba_step_and_time_iters():
     assert dt > 0.0
 
 
+@pytest.mark.slow
 def test_keyframes_composite_stage_timers():
     """The per-stage device timers behind the keyframes_per_s composite
     metric compile and run at toy shapes (the real shapes are EuRoC-sized

@@ -38,6 +38,7 @@ def test_json_loading_shapes(calib_inputs):
     assert some["corners"].shape[0] == len(some["corner_ids"])
 
 
+@pytest.mark.slow
 def test_calibration_subset_converges(calib_inputs):
     poses, corners, init = calib_inputs
     frame_ids = sorted({f for (f, _) in corners})[:8]

@@ -1,5 +1,6 @@
 """Distributed fused-assembly BA vs single-device solves on a fake mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ from photometric_bundle_adjustment_tpu.parallel import dist_fused
 from photometric_bundle_adjustment_tpu.parallel import mesh as mesh_mod
 
 
+@pytest.mark.slow
 def test_distributed_fused_matches_single_device():
     problem, _, _ = synthetic.synth_ba_problem(
         model="pinhole", K=12, L=96, obs_per_landmark=4,
@@ -72,6 +74,7 @@ def test_distributed_fused_photometric():
     assert float(r.cost) <= float(r.initial_cost)
 
 
+@pytest.mark.slow
 def test_distributed_dense_layout_matches_single_device():
     """prepare(layout='dense'): landmark-dense shard-local layout solves to
     the same result as the single-device fused solve (ragged obs counts)."""
@@ -108,6 +111,7 @@ def test_distributed_dense_layout_matches_single_device():
     assert dc < 1e-4
 
 
+@pytest.mark.slow
 def test_camera_partitioned_pcg_matches_replicated():
     """VERDICT round-1 missing #4: the reduced camera system solved
     camera-row-partitioned (matrix-free Schur PCG, psum_scatter/all_gather

@@ -2,6 +2,7 @@
 must match the single-device SE3 pose-graph solve on the 8-device mesh
 (BASELINE config #5: distributed pose-graph)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +37,7 @@ def _problem(N=14, extra_edges=19, seed=3, noise=0.02):
     return T_gt, T0, graph, fixed
 
 
+@pytest.mark.slow
 def test_dist_pgo_matches_single_device():
     T_gt, T0, graph, fixed = _problem()
     T_ref, res = pg.pose_graph_optimization(T0, graph, fixed)
@@ -58,6 +60,7 @@ def test_dist_pgo_matches_single_device():
     assert float(jnp.max(err)) < 1e-5, np.asarray(err)
 
 
+@pytest.mark.slow
 def test_dist_pgo_noise_free_recovers_gt():
     T_gt, T0, graph, fixed = _problem(N=10, extra_edges=12, seed=2, noise=0.0)
     mesh = mesh_mod.make_mesh(8)

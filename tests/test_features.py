@@ -99,6 +99,7 @@ def make_two_view(M=120, outlier_frac=0.25, seed=0):
     return T_0_1, f0, f1, is_inlier
 
 
+@pytest.mark.slow
 def test_ransac_relative_pose():
     T_gt, f0, f1, gt_inl = make_two_view()
     valid = jnp.ones(f0.shape[0], bool)
@@ -259,6 +260,7 @@ def test_five_point_recovers_true_essential():
         assert min(errs) < 1e-9, (trial, min(errs))
 
 
+@pytest.mark.slow
 def test_ransac_nister_beats_eight_point_at_high_outlier_rate():
     """5-point minimal samples survive outlier rates where 8-point samples
     are almost never clean (P(clean) = (1-e)^k) — VERDICT round-1
@@ -291,6 +293,7 @@ def test_ransac_nister_beats_eight_point_at_high_outlier_rate():
     assert counts["nister"] >= counts["eight_point"], counts
 
 
+@pytest.mark.slow
 def test_ransac_pnp_p3p_beats_dlt_at_high_outlier_rate():
     """P3P minimal samples (P(clean) = (1-e)^3) localise where the 6-point
     DLT's clean-sample probability collapses — VERDICT round-1 missing #3

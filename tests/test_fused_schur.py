@@ -96,6 +96,7 @@ def test_fused_step_matches_scatter_path(pad_obs, pad_lm):
 
 
 @pytest.mark.parametrize("host", [False, True])
+@pytest.mark.slow
 def test_fused_full_solve_converges_like_scatter_path(host):
     problem = _problem(K=10, L=48, obs_per=5)
     cfg = ba.BAConfig(max_iterations=15, huber_delta=1.0)
@@ -112,6 +113,7 @@ def test_fused_full_solve_converges_like_scatter_path(host):
 
 
 @pytest.mark.parametrize("host", [False, True])
+@pytest.mark.slow
 def test_fused_solver_photometric_model(host):
     from photometric_bundle_adjustment_tpu.models import photometric_ba as pba
 
@@ -173,6 +175,7 @@ def test_host_and_dense_formulations_agree():
     assert _rel(outs[0][2], outs[1][2]) < 1e-4
 
 
+@pytest.mark.slow
 def test_dense_lm_layout_agrees_with_chunk_plan():
     """densify_problem + DenseLmSchurPlan == chunk-plan build (ragged obs)."""
     problem = _problem(K=12, L=96, obs_per=5)
@@ -215,6 +218,7 @@ def test_dense_lm_layout_agrees_with_chunk_plan():
     assert _rel(p1.cam_states, p2.cam_states) < 1e-4
 
 
+@pytest.mark.slow
 def test_cost_from_build_loop_matches_classic():
     """The fused-cost LM loop (one build per try, cfg.cost_from_build)
     reaches the classic loop's solution quality — same final cost to f32

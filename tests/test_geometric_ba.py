@@ -66,6 +66,7 @@ def synth_scene(model="pinhole", K=4, L=60, seed=0, noise_px=0.0):
 
 
 @pytest.mark.parametrize("model", ["pinhole", "kb4"])
+@pytest.mark.slow
 def test_ba_converges_to_ground_truth(model):
     problem, poses_gt, inv_depth_gt = synth_scene(model=model)
     rng = np.random.default_rng(42)
@@ -122,6 +123,7 @@ def test_ba_robust_to_outliers():
     assert float(jnp.max(pose_err)) < 5e-3
 
 
+@pytest.mark.slow
 def test_ba_padding_invariance():
     """Padded (invalid) observations and landmarks must not change the
     result — the static-shape contract for jit."""
@@ -158,6 +160,7 @@ def test_ba_padding_invariance():
     )
 
 
+@pytest.mark.slow
 def test_manual_jacobian_matches_autodiff():
     """Closed-form rj_fn must match jacfwd through the retraction."""
     problem, _, _ = synth_scene(model="kb4", K=3, L=10)

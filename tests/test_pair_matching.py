@@ -24,6 +24,7 @@ def synth_features(I=6, F=128, seed=0):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+@pytest.mark.slow
 def test_sharded_matching_matches_local():
     desc, valid, bear = synth_features()
     kwargs = dict(

@@ -179,6 +179,7 @@ def test_pba_recovers_from_perturbation(scene):
     assert np.max(aff_err[:, 1]) < 1.0    # b (intensity offset)
 
 
+@pytest.mark.slow
 def test_pba_manual_jacobian_matches_autodiff(scene):
     problem, images_flat, _ = build_pba_problem(scene, L=20)
     o = problem.obs
@@ -228,6 +229,7 @@ def test_pyramid_utilities():
     )
 
 
+@pytest.mark.slow
 def test_tile_sampler_matches_gather_sampler():
     """The tile-gather + tap-contraction sampler equals the per-tap gather
     path (same 4-tap bilinear math, different association order)."""
@@ -262,6 +264,7 @@ def test_tile_sampler_matches_gather_sampler():
         )
 
 
+@pytest.mark.slow
 def test_kernel_batched_solver_matches_gather_solver():
     """imagesort_problem + make_batched_fns (Pallas kernel, interpret on
     CPU) reproduce the vmapped gather-sampler solve."""
@@ -321,6 +324,7 @@ def test_kernel_batched_solver_matches_gather_solver():
     )
 
 
+@pytest.mark.slow
 def test_kernel_dense_solver_matches_gather_solver():
     """densify_problem + make_kernel_dense_solver (slot-major dense
     assembly, Pallas sampling via interpret on CPU) reproduce the

@@ -52,6 +52,7 @@ def mini_pipeline():
     return pipe
 
 
+@pytest.mark.slow
 def test_pipeline_completes(mini_pipeline):
     pipe = mini_pipeline
     assert len(pipe.corners) == 6
@@ -73,6 +74,7 @@ def test_pipeline_reprojection_quality(mini_pipeline):
     assert float(np.mean(errs)) < 3.0, f"mean reprojection {np.mean(errs)}px"
 
 
+@pytest.mark.slow
 def test_pipeline_bow_matching(mini_pipeline):
     """BoW-candidate matching path (match_bow, sfm.cpp:1355-1452): build a
     vocabulary from the map's own descriptors and re-run matching."""
@@ -133,6 +135,7 @@ def test_global_initialization(mini_pipeline):
     assert float(np.median(dpos)) < 0.05, dpos
 
 
+@pytest.mark.slow
 def test_optimize_intrinsics_option():
     """The reference's optimize_intrinsics BA option (map_utils.h:339-345):
     alternation refinement must run and keep (or improve) map quality."""

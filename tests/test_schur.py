@@ -2,6 +2,7 @@
 solve of the same damped normal equations, including gauge and padding
 masks."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,6 +40,7 @@ def dense_reference_solve(H_cc, H_cp, H_pp, g_c, g_p, lam, free_cam, lm_mask,
     return x[: K * C].reshape(K, C), x[K * C:]
 
 
+@pytest.mark.slow
 def test_schur_matches_dense_solve():
     problem, _, _ = synthetic.synth_ba_problem(
         model="pinhole", K=5, L=40, pixel_noise=0.5, seed=2
@@ -63,6 +65,7 @@ def test_schur_matches_dense_solve():
     assert np.all(np.asarray(dc)[np.asarray(problem.fixed_cams)] == 0.0)
 
 
+@pytest.mark.slow
 def test_schur_with_padding():
     problem, _, _ = synthetic.synth_ba_problem(
         model="pinhole", K=4, L=32, pixel_noise=0.3, seed=5
