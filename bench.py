@@ -445,6 +445,25 @@ def time_iters(lm_step, problem, iters: int, const=None) -> float:
     return (min(t_ns) - min(t_1s)) / (iters - 1)
 
 
+def kernel_roofline(fn, args, dt):
+    """FLOP/byte counts (XLA post-optimization cost analysis) and achieved
+    fraction of v5e peaks for one call of ``fn(*args)`` at ``dt`` seconds
+    per call.  Returns {} on any failure — MFU accounting must never cost
+    a metric."""
+    try:
+        from photometric_bundle_adjustment_tpu.utils.roofline import (
+            jit_cost, roofline,
+        )
+
+        cost = jit_cost(fn, *args)
+        out = roofline(dt, cost["flops"], cost["bytes"])
+        out["gflops_per_call"] = round(cost["flops"] / 1e9, 2)
+        out["mbytes_per_call"] = round(cost["bytes"] / 1e6, 1)
+        return out
+    except Exception:
+        return {}
+
+
 # Bump when any CPU-baseline formulation changes: cached baseline values in
 # runs/cpu_baseline.json are reused only when the version matches, so the
 # slow native-CPU timing subprocess runs once per formulation, not per run.
@@ -604,12 +623,18 @@ def main():
         dt_chunk_cpu = dt_chunk if cpu_mode else cpu["match"]
         # matching chunk = 32 pairs of (512 x 512) Hamming best-2-NN +
         # ratio/cross-check + 128-hypothesis 5-point essential RANSAC
-        emit({
+        rec = {
             "metric": f"match_pairs_per_s_{backend}",
             "value": round(32.0 / dt_chunk, 1),
             "unit": "image pairs/s",
             "vs_baseline": round(dt_chunk_cpu / dt_chunk, 3),
-        })
+        }
+        if not cpu_mode:
+            i1 = (lane * 7) % I
+            i2 = (lane * 11 + 1) % I
+            rec["roofline"] = kernel_roofline(chunk_fn, (i1, i2, key),
+                                              dt_chunk)
+        emit(rec)
     except Exception as e:
         emit_err(f"match_pairs_per_s_{backend}", e)
 
@@ -621,12 +646,16 @@ def main():
         dt_pba = time_iters(pba_step, pba_problem,
                             30 if not cpu_mode else 4, const=pba_const)
         dt_pba_cpu = dt_pba if cpu_mode else cpu["pba"]
-        emit({
+        rec = {
             "metric": f"pba_lm_iters_per_s_{backend}",
             "value": round(1.0 / dt_pba, 3),
             "unit": "iters/s",
             "vs_baseline": round(dt_pba_cpu / dt_pba, 3),
-        })
+        }
+        if not cpu_mode:
+            rec["roofline"] = kernel_roofline(
+                pba_step, (pba_problem, pba_const), dt_pba)
+        emit(rec)
     except Exception as e:
         emit_err(f"pba_lm_iters_per_s_{backend}", e)
 
@@ -645,6 +674,8 @@ def main():
             "unit": "iters/s",
             "vs_baseline": round(dt_cpu / dt, 3),
         }
+        if not cpu_mode:
+            headline["roofline"] = kernel_roofline(lm_step, (problem,), dt)
     except Exception as e:
         headline = {"metric": f"ba_lm_iters_per_s_{backend}",
                     "error": repr(e)}
@@ -678,6 +709,11 @@ def main():
                       "error": (out.stderr or out.stdout)[-400:]})
                 dt_detect = nan
 
+        rl_detect = {}
+        if not cpu_mode and dt_detect == dt_detect:
+            step_d, imgs_d = build_detect_step()
+            rl_detect = kernel_roofline(step_d, (imgs_d,), dt_detect)
+
         kf_per_s, kf_breakdown = composite_keyframes(
             dt_ba_final, dt_detect, dt_chunk, fast=cpu_mode
         )
@@ -690,6 +726,7 @@ def main():
             "unit": "images/s (device-time composite, EuRoC V1 workload)",
             "vs_baseline": round(kf_per_s / 2.26, 2),
             "breakdown_s": {k: round(v, 3) for k, v in kf_breakdown.items()},
+            "detect_roofline": rl_detect,
         })
     except Exception as e:
         emit_err(f"keyframes_per_s_{backend}", e)
