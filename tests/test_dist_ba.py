@@ -52,3 +52,14 @@ def test_sharding_actually_partitions():
     shard_sizes = {s.data.shape[0] for s in sharded.inv_depth.addressable_shards}
     assert shard_sizes == {128 // 8}
     assert len(sharded.obs.valid.sharding.device_set) == 8
+
+
+def test_memory_budget_guard():
+    """Maps whose dense H_cp exceeds the per-device budget are refused
+    with a pointer to the partitioned solver (code guard, not docstring)."""
+    problem, _, _ = synthetic.synth_ba_problem(K=6, L=128, seed=3)
+    # small map passes
+    dist_ba.check_memory_budget(problem, n_devices=8)
+    # tiny budget triggers the guard deterministically
+    with pytest.raises(ValueError, match="camera_partition=True"):
+        dist_ba.check_memory_budget(problem, n_devices=1, budget_bytes=1024)
