@@ -145,20 +145,20 @@ def build_pba_step(dtype, use_kernel: bool, **scale):
 # ---------------------------------------------------------------------------
 
 # Kernel-invocation counts of the full-parity EuRoC V1 run (164/164
-# cameras, 5528 landmarks, 29390 obs; apps.sfm on data/euroc_V1, seed 0;
+# cameras, 5577 landmarks, 28999 obs; apps.sfm on data/euroc_V1, seed 0;
 # the pipeline prints these as "Kernel invocations: ..." at completion —
-# pipeline/sfm_pipeline.py self.counters).  Measured 2026-08-20,
-# runs/run1.log.
+# pipeline/sfm_pipeline.py self.counters).  Measured 2026-08-21,
+# runs/run_r3_1.log (rows = sum over bucket-size counters).
 EUROC_WORKLOAD = {
     "images": 164,
     "detect_batches": 21,          # 164 images / batch 8
     "match_chunks": 416,           # 13,284 all pairs / chunk 32
     "stereo_chunks": 3,            # 82 stereo pairs / chunk 32
-    "localize_calls_1024": 249,    # PnP attempts at the 1024-row bucket
-    "triangulate_rows": 44_800,    # total bucketed triangulation rows
-    "project_rows": 2_008_320,     # total outlier-pass projection rows
-    "lmpos_rows": 2_072_576,       # total Landmark::get_p rows
-    "ba_iters": 586,               # LM iterations across 77 BA solves
+    "localize_calls_1024": 252,    # PnP attempts at the 1024-row bucket
+    "triangulate_rows": 44_544,    # total bucketed triangulation rows
+    "project_rows": 1_822_208,     # total outlier-pass projection rows
+    "lmpos_rows": 1_887_232,       # total Landmark::get_p rows
+    "ba_iters": 613,               # LM iterations across 74 BA solves
 }
 
 

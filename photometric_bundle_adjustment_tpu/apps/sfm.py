@@ -110,6 +110,21 @@ def main(argv=None):
         + f", total={wall:.2f}s"
     )
 
+    if args.map_out.endswith(".cereal"):
+        # reference-native binary map the unmodified reference binary can
+        # load (map_utils.h:88-116); byte-format cross-validated against
+        # the reference's own serialize adapters (refbaseline/
+        # test_cereal_io.cpp)
+        from photometric_bundle_adjustment_tpu.io import cereal_io
+
+        cereal_io.export_pipeline_map(pipe, args.map_out)
+        n_obs = sum(len(l.obs) for l in pipe.landmarks.values())
+        print(
+            f"Saved map as {args.map_out} ({len(pipe.cameras)} cameras, "
+            f"{len(pipe.landmarks)} landmarks, {n_obs} observations)"
+        )
+        return 0
+
     with open(args.map_out, "wb") as f:
         pickle.dump(
             {

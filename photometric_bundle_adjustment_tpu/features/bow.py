@@ -69,9 +69,31 @@ class BowVocabulary:
 
     @classmethod
     def load(cls, path):
+        if path.endswith(".cereal"):
+            return cls.load_cereal(path)
         with open(path, "rb") as f:
             d = pickle.load(f)
         return cls(d["centroids"], d["children"], d["leaf_word"])
+
+    @classmethod
+    def load_cereal(cls, path):
+        """Load the reference's binary-cereal vocabulary
+        (bow_voc.h:138-153 / :189-207).  Word ids are recomputed exactly
+        as the reference's createWords(): leaves in node order get
+        sequential ids (bow_voc.h:211-222) — the persisted word_id field
+        is ignored there too."""
+        from photometric_bundle_adjustment_tpu.io import cereal_io
+
+        _, _, nodes = cereal_io.load_bow_vocabulary_cereal(path)
+        centroids = np.stack([n["descriptor"] for n in nodes])
+        children = [[int(c) for c in n["children"]] for n in nodes]
+        leaf_word = np.full(len(nodes), -1, np.int32)
+        wid = 0
+        for i, n in enumerate(nodes):
+            if not children[i]:
+                leaf_word[i] = wid
+                wid += 1
+        return cls(centroids, children, leaf_word)
 
     def word_ids(self, desc: np.ndarray) -> np.ndarray:
         """Map (N, 8)-uint32 descriptors to leaf word ids

@@ -53,6 +53,9 @@ TILE_H = 24
 TILE_W = 256
 P = 8        # DSO patch size
 GROUP = 128  # observations per grid step (lane-aligned slabs)
+# groups per pallas_call: bounds the whole-resident scalar-prefetch SMEM
+# (code is GROUP int32s per group; 1536 groups -> 768 KiB of 1 MiB SMEM)
+_SEG_GROUPS = 1536
 
 
 def _make_kernel(n_groups: int, want_grads: bool):
@@ -236,36 +239,61 @@ def sample_patches_grouped(
     else:
         rx2, ry2 = rx, ry
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # img_of_group, group counts, code
-        grid=(n_groups,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rx2
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ry2
-            pl.BlockSpec(
-                (1, Hp, Wp),
-                lambda g, img_of_group, cnt, code: (img_of_group[g], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((P, GROUP), dtype),
-            pltpu.VMEM((P, GROUP), dtype),
-            pltpu.VMEM((P, GROUP), dtype),
-            pltpu.VMEM((3 * P, TILE_W), dtype),
-        ],
-    )
-    out_shape = [jax.ShapeDtypeStruct((P, O), dtype) for _ in range(3)]
-    val, gx, gy = pl.pallas_call(
-        _make_kernel(n_groups, want_grads),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(img_of_group.astype(jnp.int32), group_counts.astype(jnp.int32),
-      code, rx2, ry2, images3d)
+    def invoke(iog_s, cnt_s, code_s, rx2_s, ry2_s):
+        ng = iog_s.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # img_of_group, group counts, code
+            grid=(ng,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # rx2
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # ry2
+                pl.BlockSpec(
+                    (1, Hp, Wp),
+                    lambda g, img_of_group, cnt, code: (
+                        img_of_group[g], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((P, GROUP), dtype),
+                pltpu.VMEM((P, GROUP), dtype),
+                pltpu.VMEM((P, GROUP), dtype),
+                pltpu.VMEM((3 * P, TILE_W), dtype),
+            ],
+        )
+        out_shape = [jax.ShapeDtypeStruct((P, ng * GROUP), dtype)
+                     for _ in range(3)]
+        return pl.pallas_call(
+            _make_kernel(ng, want_grads),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(iog_s.astype(jnp.int32), cnt_s.astype(jnp.int32),
+          code_s.astype(jnp.int32), rx2_s, ry2_s, images3d)
+
+    # The code/count/img_of_group scalar-prefetch operands are resident
+    # WHOLE in the 1 MiB SMEM; above ~200k observation rows the code
+    # array alone would overflow it (seen on the real-map slot-major
+    # layout), so the call is segmented over group ranges — images are
+    # re-staged per segment, a negligible cost next to the per-group DMA
+    # reuse within one.
+    if n_groups <= _SEG_GROUPS:
+        val, gx, gy = invoke(img_of_group, group_counts, code, rx2, ry2)
+    else:
+        parts = []
+        for s in range(0, n_groups, _SEG_GROUPS):
+            e = min(s + _SEG_GROUPS, n_groups)
+            parts.append(invoke(
+                img_of_group[s:e], group_counts[s:e],
+                code[s * GROUP : e * GROUP],
+                rx2[:, s * GROUP : e * GROUP],
+                ry2[:, s * GROUP : e * GROUP],
+            ))
+        val, gx, gy = (jnp.concatenate([p[i] for p in parts], axis=1)
+                       for i in range(3))
     return val, gx, gy

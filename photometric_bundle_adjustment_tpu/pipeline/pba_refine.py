@@ -155,16 +155,37 @@ def refine_photometric(
         from photometric_bundle_adjustment_tpu.optim import fused
 
         if jax.default_backend() == "tpu":
-            # slot-major dense assembly + Pallas patch-sampling kernel +
-            # fused-cost LM loop — the fastest TPU path (the separate
-            # accept/reject residual pass re-samples every patch, 7.2 ms
-            # of a 24 ms iteration; cost_from_build folds it into the
-            # build)
             cfg = cfg._replace(cost_from_build=True)
-            prob_l, plan = fused.densify_problem(prob_l)
-            solve = pba.make_kernel_dense_solver(
-                model, flat_l, H_l, W_l, prob_l, imgs_l.shape[0]
-            )
+            # The slot-major dense layout pads the observation axis to
+            # S x L with S = max observations per landmark.  Synthetic
+            # benches have uniform S ~ 5; REAL maps are heavy-tailed
+            # (EuRoC V1: max 96 obs on one landmark -> an 18x row blow-up
+            # that overflowed the sampler and wasted 95% of the assembly).
+            # Use dense only while the blow-up is modest; otherwise the
+            # image-sorted kernel path (chunk-plan assembly, ~1.3-1.7x
+            # per-image padding) is the right formulation.
+            lm = np.asarray(prob_l.obs.landmark)[
+                np.asarray(prob_l.obs.valid).astype(bool)]
+            L_l = prob_l.inv_depth.shape[0]
+            O_l = max(lm.shape[0], 1)
+            S_l = int(np.bincount(lm, minlength=L_l).max()) if O_l else 1
+            if S_l * L_l <= 3 * O_l:
+                # fastest TPU path: dense assembly + Pallas sampling +
+                # fused-cost LM loop (the separate accept/reject residual
+                # pass re-samples every patch; cost_from_build folds it
+                # into the build)
+                prob_l, plan = fused.densify_problem(prob_l)
+                solve = pba.make_kernel_dense_solver(
+                    model, flat_l, H_l, W_l, prob_l, imgs_l.shape[0]
+                )
+            else:
+                prob_l, iog, gcnt = pba.imagesort_problem(
+                    prob_l, imgs_l.shape[0]
+                )
+                plan = fused.plan_for_problem(prob_l)
+                solve = pba.make_kernel_fused_solver(
+                    model, flat_l, H_l, W_l, iog, gcnt
+                )
         else:
             plan = fused.plan_for_problem(prob_l)
             solve = pba.make_fused_solver(model, flat_l, H_l, W_l)
