@@ -61,7 +61,7 @@ _SEG_GROUPS = 1536
 def _make_kernel(n_groups: int, want_grads: bool):
     def kernel(img_of_group_ref, cnt_ref, code_ref, rx2_ref, ry2_ref,
                img_ref, val_ref, gx_ref, gy_ref, acc_val, acc_gx, acc_gy,
-               prod):
+               wxd_s, wyd_s):
         g = pl.program_id(0)
         base = g * GROUP
         cnt = cnt_ref[g]
@@ -76,12 +76,12 @@ def _make_kernel(n_groups: int, want_grads: bool):
         # encoded as -2 (invalid gradient) match no integer column and
         # vanish.  One MXU product TY = WYs . tile gives the y-contraction
         # for value AND y-derivative rows at once; the three lane
-        # reductions (val, gx, gy) are stacked into a (3P, TILE_W) product
-        # buffer and collapsed by a second MXU product with a ones vector.
-        # Everything slab-wide (floors, coefficient stacks) is hoisted out
-        # of the unrolled per-observation bodies — keeps the bodies at
-        # ~30 ops each (the unroll is what makes every slab access a
-        # static lane offset, as Mosaic requires).
+        # reductions (val, gx, gy) are independent ones-vector dots.
+        # Everything slab-wide (floors, coefficient stacks, and the
+        # bilinear tap masks themselves — see wxd_s/wyd_s below) is
+        # hoisted out of the unrolled per-observation bodies (the unroll
+        # is what makes every slab access a static lane offset, as Mosaic
+        # requires).
         cx_s = jnp.floor(rx_g)
         cy_s = jnp.floor(ry_g)
         fx_s = rx_g - cx_s
@@ -99,8 +99,32 @@ def _make_kernel(n_groups: int, want_grads: bool):
             a0x_s, a1x_s = 1.0 - fx_s, fx_s
             a0y_s, a1y_s = 1.0 - fy_s, fy_s
 
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (Q, TILE_H), 1)
-        cols_i = jax.lax.broadcasted_iota(jnp.int32, (Q, TILE_W), 1)
+        # slab-wide bilinear-tap mask construction: ONE vectorised pass
+        # over (GROUP, Q, TILE_*) scratch instead of ~12 wide compare/
+        # select/multiply ops inside each of the 128 unrolled bodies —
+        # the bodies were issue-rate-bound, not compute-bound, and this
+        # roughly halves their op count (the remaining body is one tile
+        # slice, two MXU dots, and the accumulator writes).
+        dtype = rx_g.dtype
+        cxiT = cxi_s.T                               # (GROUP, Q)
+        cyiT = cyi_s.T
+        cols3 = jax.lax.broadcasted_iota(
+            jnp.int32, (GROUP, Q, TILE_W), 2)
+        rows3 = jax.lax.broadcasted_iota(
+            jnp.int32, (GROUP, Q, TILE_H), 2)
+        wxd_s[...] = (
+            (cols3 == cxiT[:, :, None]).astype(dtype)
+            * a0x_s.T[:, :, None]
+            + (cols3 == cxiT[:, :, None] + 1).astype(dtype)
+            * a1x_s.T[:, :, None]
+        )
+        wyd_s[...] = (
+            (rows3 == cyiT[:, :, None]).astype(dtype)
+            * a0y_s.T[:, :, None]
+            + (rows3 == cyiT[:, :, None] + 1).astype(dtype)
+            * a1y_s.T[:, :, None]
+        )
+
         ones_w = jnp.ones((1, TILE_W), jnp.float32)
         dn = (((1,), (1,)), ((), ()))  # contract lane dims (B^T form)
 
@@ -113,25 +137,23 @@ def _make_kernel(n_groups: int, want_grads: bool):
               x0 = pl.multiple_of((code & 0xFFF) * 128, 128)
               tile = img_ref[0, pl.ds(y0, TILE_H), pl.ds(x0, TILE_W)]
 
-              is_x0 = (cols_i == cxi_s[:, t : t + 1]).astype(tile.dtype)
-              is_x1 = (cols_i == cxi_s[:, t : t + 1] + 1).astype(tile.dtype)
-              is_y0 = (rows_i == cyi_s[:, t : t + 1]).astype(tile.dtype)
-              is_y1 = (rows_i == cyi_s[:, t : t + 1] + 1).astype(tile.dtype)
-              wxd = is_x0 * a0x_s[:, t : t + 1] + is_x1 * a1x_s[:, t : t + 1]
-              wyd = is_y0 * a0y_s[:, t : t + 1] + is_y1 * a1y_s[:, t : t + 1]
+              wxd = wxd_s[t]
+              wyd = wyd_s[t]
 
               TY = jnp.dot(wyd, tile, preferred_element_type=tile.dtype)
               if want_grads:
-                  prod[0:P, :] = TY[0:P, :] * wxd[0:P, :]      # val
-                  prod[P : 2 * P, :] = TY[0:P, :] * wxd[P:, :]  # gx
-                  prod[2 * P :, :] = TY[P:, :] * wxd[0:P, :]    # gy
-                  red = jax.lax.dot_general(
-                      prod[:], ones_w, dn,
-                      preferred_element_type=jnp.float32,
-                  )                                            # (3P, 1)
-                  acc_val[:, t : t + 1] = red[0:P]
-                  acc_gx[:, t : t + 1] = red[P : 2 * P]
-                  acc_gy[:, t : t + 1] = red[2 * P :]
+                  # three independent value-free dots (no staging scratch:
+                  # a shared prod buffer created write-read chains between
+                  # consecutive unrolled bodies and serialized them)
+                  acc_val[:, t : t + 1] = jax.lax.dot_general(
+                      TY[0:P, :] * wxd[0:P, :], ones_w, dn,
+                      preferred_element_type=jnp.float32)
+                  acc_gx[:, t : t + 1] = jax.lax.dot_general(
+                      TY[0:P, :] * wxd[P:, :], ones_w, dn,
+                      preferred_element_type=jnp.float32)
+                  acc_gy[:, t : t + 1] = jax.lax.dot_general(
+                      TY[P:, :] * wxd[0:P, :], ones_w, dn,
+                      preferred_element_type=jnp.float32)
               else:
                   red = jax.lax.dot_general(
                       TY * wxd, ones_w, dn,
@@ -263,7 +285,10 @@ def sample_patches_grouped(
                 pltpu.VMEM((P, GROUP), dtype),
                 pltpu.VMEM((P, GROUP), dtype),
                 pltpu.VMEM((P, GROUP), dtype),
-                pltpu.VMEM((3 * P, TILE_W), dtype),
+                pltpu.VMEM((GROUP, (2 * P if want_grads else P), TILE_W),
+                           dtype),
+                pltpu.VMEM((GROUP, (2 * P if want_grads else P), TILE_H),
+                           dtype),
             ],
         )
         out_shape = [jax.ShapeDtypeStruct((P, ng * GROUP), dtype)
