@@ -95,6 +95,10 @@ class BAResult(NamedTuple):
     initial_cost: jax.Array
     iterations: jax.Array
     lam: jax.Array
+    # total inner-CG iterations across the solve (0 where the path solves
+    # the reduced system directly; populated by the camera-partitioned
+    # matrix-free PCG in parallel.dist_fused)
+    cg_iterations: jax.Array | int = 0
 
 
 def _robust_weights(r2: jax.Array, delta: float) -> jax.Array:

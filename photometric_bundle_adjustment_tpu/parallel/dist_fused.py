@@ -333,7 +333,8 @@ def make_distributed_fused_solver(
                     fixed_cams=P(),
                     lm_valid=P(DATA_AXIS),
                 ),
-                ba.BAResult(cost=P(), initial_cost=P(), iterations=P(), lam=P()),
+                ba.BAResult(cost=P(), initial_cost=P(), iterations=P(),
+                            lam=P(), cg_iterations=P()),
             ),
             check_rep=False,
         )
@@ -479,19 +480,19 @@ def make_distributed_fused_solver(
                     p_dir = z + beta * p_dir
                     return (x, r, z, p_dir, rz_new, it + 1)
 
-                x, _, _, _, _, _ = jax.lax.while_loop(
+                x, _, _, _, _, cg_it = jax.lax.while_loop(
                     cg_cond, cg_body, (x, r, z, p_dir, rz, jnp.asarray(0))
                 )
                 dc_full = jax.lax.all_gather(x, DATA_AXIS, tiled=True)
                 delta_c = (dc_full * maskp)[:KC]
                 delta_p = -(g_p + M @ delta_c) * inv0 / (1.0 + lam)
-                return delta_c.reshape(K, C_), delta_p
+                return delta_c.reshape(K, C_), delta_p, cg_it
 
             with jax.default_matmul_precision("float32"):
                 init_cost = cost_fn(prob)
 
                 def body(state):
-                    p, lam, cost, it, done = state
+                    p, lam, cost, it, done, cg_tot = state
                     if camera_partition:
                         _, neq = build_part(p)
                     else:
@@ -504,24 +505,25 @@ def make_distributed_fused_solver(
                         )
 
                     def inner_cond(s):
-                        lam_i, ok, _, tries, _, _ = s
+                        lam_i, ok, _, tries, _, _, _ = s
                         return (~ok) & (tries < cfg.max_retries) & (
                             lam_i <= cfg.max_lambda
                         )
 
                     def inner_body(s):
-                        lam_i, _, _, tries, _, _ = s
+                        lam_i, _, _, tries, _, _, cg_acc = s
                         if camera_partition:
-                            dc, dp = solve_lam_part(neq, lam_i)
+                            dc, dp, cg_i = solve_lam_part(neq, lam_i)
                         else:
                             dc, dp = solver.solve_lam(
                                 neq, plan, lam_i, free, cfg
                             )
+                            cg_i = jnp.asarray(0)
                         new_cost = cost_fn(apply(dc, dp))
                         ok = (new_cost < cost) & jnp.isfinite(new_cost)
                         return (
                             jnp.where(ok, lam_i, lam_i * 10.0), ok, new_cost,
-                            tries + 1, dc, dp,
+                            tries + 1, dc, dp, cg_acc + cg_i,
                         )
 
                     dc0 = jnp.zeros(
@@ -529,10 +531,10 @@ def make_distributed_fused_solver(
                     )
                     dp0 = jnp.zeros_like(p.inv_depth)
                     # accepting step's deltas ride the carry — no recompute
-                    lam_f, accepted, new_cost, _, dc_f, dp_f = (
+                    lam_f, accepted, new_cost, _, dc_f, dp_f, cg_in = (
                         jax.lax.while_loop(
                             inner_cond, inner_body,
-                            (lam, False, cost, 0, dc0, dp0),
+                            (lam, False, cost, 0, dc0, dp0, jnp.asarray(0)),
                         )
                     )
                     # select only the mutable state — a whole-pytree select
@@ -556,21 +558,22 @@ def make_distributed_fused_solver(
                         cfg.function_tolerance * jnp.maximum(cost, 1e-300)
                     )
                     return (p_new, lam_new, cost_new, it + 1,
-                            (~accepted) | small)
+                            (~accepted) | small, cg_tot + cg_in)
 
                 def cond(state):
-                    _, _, _, it, done = state
+                    _, _, _, it, done, _ = state
                     return (~done) & (it < cfg.max_iterations)
 
                 state0 = (
                     prob, jnp.asarray(cfg.init_lambda, dtype), init_cost,
-                    jnp.asarray(0), jnp.asarray(False),
+                    jnp.asarray(0), jnp.asarray(False), jnp.asarray(0),
                 )
-                p_f, lam, cost, iters, _ = jax.lax.while_loop(
+                p_f, lam, cost, iters, _, cg_tot = jax.lax.while_loop(
                     cond, body, state0
                 )
             return p_f, ba.BAResult(
-                cost=cost, initial_cost=init_cost, iterations=iters, lam=lam
+                cost=cost, initial_cost=init_cost, iterations=iters, lam=lam,
+                cg_iterations=cg_tot,
             )
 
         jitted = jax.jit(run, static_argnames=())

@@ -94,7 +94,8 @@ def run_one(K, L, obs_per_lm, mode, iters=2):
     ok = bool(np.isfinite(float(r.cost))) and float(r.cost) < float(
         r.initial_cost
     )
-    return O, t_prep, t_solve, float(r.initial_cost), float(r.cost), ok
+    cg = int(np.asarray(r.cg_iterations))
+    return O, t_prep, t_solve, float(r.initial_cost), float(r.cost), ok, cg
 
 
 def main():
@@ -105,14 +106,14 @@ def main():
     names = list(SIZES) if args.sizes == "all" else [args.sizes]
 
     print(f"{'size':>8} {'K':>5} {'L':>7} {'O':>8} {'mode':>12} "
-          f"{'prep_s':>7} {'solve_s':>8} {'cost':>22} {'ok':>3}")
+          f"{'prep_s':>7} {'solve_s':>8} {'cost':>22} {'ok':>3} {'cg':>5}")
     for name in names:
         K, L, opl = SIZES[name]
         for mode in ("replicated", "partitioned"):
-            O, tp, ts, c0, c1, ok = run_one(K, L, opl, mode, args.iters)
+            O, tp, ts, c0, c1, ok, cg = run_one(K, L, opl, mode, args.iters)
             print(f"{name:>8} {K:>5} {L:>7} {O:>8} {mode:>12} "
                   f"{tp:>7.1f} {ts:>8.1f} {c0:>10.3e}->{c1:<10.3e} "
-                  f"{'Y' if ok else 'N'}")
+                  f"{'Y' if ok else 'N'} {cg:>5}")
         mm = mem_model(K, L, O, 8)
         print(f"{'':>8} per-device MB: build={mm['build_MB']:.0f} "
               f"M={mm['M_MB']:.0f} reduced(repl)={mm['replicated_MB']:.0f} "
