@@ -143,3 +143,42 @@ def test_bow_vocabulary_cereal_load_matches_native(tmp_path):
     np.testing.assert_array_equal(voc.centroids, voc2.centroids)
     q = rng.integers(0, 2**32, (50, 8), dtype=np.uint32)
     np.testing.assert_array_equal(voc.word_ids(q), voc2.word_ids(q))
+
+
+def test_export_pipeline_map(tmp_path):
+    """export_pipeline_map trims padded corner slots and writes a map the
+    reader round-trips (the apps.sfm --map-out map.cereal path)."""
+
+    class _LM:
+        def __init__(self, rho, obs, out):
+            self.inv_depth, self.obs, self.outlier_obs = rho, obs, out
+
+    class _Pipe:
+        pass
+
+    rng = np.random.default_rng(5)
+    pipe = _Pipe()
+    pipe.corners = {
+        (0, 0): {
+            "uv": rng.uniform(0, 700, (6, 2)).astype(np.float32),
+            "valid": np.array([1, 1, 1, 0, 0, 0], bool),
+            "angles": rng.uniform(-3, 3, 6).astype(np.float32),
+            "desc": rng.integers(0, 2**32, (6, 8), dtype=np.uint32),
+        },
+    }
+    pipe.matches = {((0, 0), (0, 1)): {
+        "T_i_j": np.array([0, 0, 0, 0, 0, 0, 1.0]),
+        "matches": np.array([[0, 1]], np.int32),
+        "inliers": np.array([[0, 1]], np.int32),
+    }}
+    pipe.tracks = {3: {(0, 0): 1}}
+    pipe.outlier_tracks = {}
+    pipe.cameras = {(0, 0): np.array([1, 2, 3, 0, 0, 0, 1.0])}
+    pipe.landmarks = {3: _LM(0.5, {(0, 0): 1}, {})}
+
+    path = str(tmp_path / "map.cereal")
+    cio.export_pipeline_map(pipe, path)
+    out = cio.load_map_cereal(path)
+    assert out["corners"][(0, 0)]["uv"].shape == (3, 2)  # padded slots cut
+    assert out["landmarks"][3]["inv_depth"] == 0.5
+    assert out["cameras"][(0, 0)][0] == 1.0
