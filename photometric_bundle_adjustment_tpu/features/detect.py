@@ -3,9 +3,11 @@
 Replaces the reference's ``cv::goodFeaturesToTrack`` call
 (include/visnav/keypoints.h:133-149): Sobel gradients -> structure tensor
 (box filter) -> minimum-eigenvalue score -> quality threshold (fraction of
-the max score) -> non-maximum suppression -> top-k.  Everything is
-expressed as convolutions + elementwise ops + reductions, which XLA fuses
-and tiles onto the VPU/MXU; shapes are static (fixed ``num_features`` slots
+the max score) -> non-maximum suppression -> top-k.  All filters run as
+zero-padded separable shift-multiply-adds on the VPU (single-channel
+``conv_general_dilated`` pads the feature dimension to an MXU tile and
+wastes 127/128 of it — the conv form measured 37 ms vs 0.03 ms per
+8-image batch on v5e); shapes are static (fixed ``num_features`` slots
 with a validity mask) so the whole front-end jits.
 
 The greedy min-distance NMS of OpenCV is replaced by window NMS (a corner
