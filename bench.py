@@ -467,7 +467,7 @@ def kernel_roofline(fn, args, dt):
 # Bump when any CPU-baseline formulation changes: cached baseline values in
 # runs/cpu_baseline.json are reused only when the version matches, so the
 # slow native-CPU timing subprocess runs once per formulation, not per run.
-CPU_BASELINE_VERSION = 4
+CPU_BASELINE_VERSION = 5
 _CPU_CACHE = "runs/cpu_baseline.json"
 
 
@@ -503,8 +503,25 @@ def _cpu_baseline_main():
         return time_iters(pba_step, pba_problem, 4, const=pba_const)
 
     def _match():
+        # direct sequential timing: block_until_ready is reliable on CPU
+        # and the ~200 ms chunk dwarfs dispatch.  (The differenced
+        # fori_loop estimator once returned a physically impossible
+        # 5.6 ms — 470 GFLOP/s on two cores — and poisoned a round's
+        # vs_baseline; a floor check guards against regressions.)
+        import jax
+
         chunk_fn, key, lane, I = build_match_chunk()
-        return time_match_chunk(chunk_fn, key, lane, I, 3)
+        out = chunk_fn(lane % I, (lane * 11 + 1) % I, key)
+        jax.block_until_ready(out)
+        n = 4
+        t0 = time.time()
+        for s in range(n):
+            out = chunk_fn((lane * 7 + s) % I, (lane * 11 + 2 * s + 1) % I,
+                           jax.random.fold_in(key, s))
+            jax.block_until_ready(out)
+        dt = (time.time() - t0) / n
+        assert dt > 1e-3, f"implausible CPU chunk time {dt}"
+        return dt
 
     guard("CPU_DT", _ba)
     guard("CPU_PBA_DT", _pba)

@@ -42,19 +42,30 @@ def jit_cost(fn, *args, **kwargs) -> dict:
 
 
 def roofline(dt_seconds: float, flops: float, bytes_: float) -> dict:
-    """Achieved rates + fraction of v5e peaks + binding resource."""
+    """Achieved rates + fraction of v5e peaks + binding resource.
+
+    ``bytes_`` comes from XLA's cost model, which counts each op's
+    LOGICAL operand bytes before fusion — an upper bound on physical HBM
+    traffic.  A logical-bytes rate above the HBM peak therefore means
+    fusion keeps most of that traffic on-chip (VMEM/registers), and the
+    kernel is latency/issue-bound rather than HBM-bound; the ``bound``
+    label says so explicitly instead of reporting an impossible >100%
+    HBM utilisation as a bandwidth bound.
+    """
     tflops = flops / dt_seconds / 1e12
     gbps = bytes_ / dt_seconds / 1e9
     mxu = flops / dt_seconds / V5E_PEAK_BF16_FLOPS
     hbm = bytes_ / dt_seconds / V5E_PEAK_HBM_BPS
-    if mxu < 0.02 and hbm < 0.02:
+    if hbm > 1.0:
+        bound = "on-chip (fused); latency/issue"
+    elif mxu < 0.02 and hbm < 0.02:
         bound = "latency/overhead"
     else:
         bound = "mxu" if mxu >= hbm else "hbm"
     return {
         "tflops": round(tflops, 2),
-        "gbps": round(gbps, 1),
+        "logical_gbps": round(gbps, 1),
         "pct_mxu_bf16_peak": round(100 * mxu, 1),
-        "pct_hbm_peak": round(100 * hbm, 1),
+        "pct_hbm_peak_logical": round(100 * hbm, 1),
         "bound": bound,
     }
