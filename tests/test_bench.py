@@ -49,3 +49,27 @@ def test_keyframes_composite_stage_timers():
     geo = bench.build_geometry_steps(M_loc=128, M_rows=256)
     for _name, (fn, args) in geo.items():
         bench.time_devcalls(fn, args, 3)
+
+
+def test_hot_programs_free_of_windowed_and_reversed_ops():
+    """Regression guard for the round-2/3 XLA:TPU fusion_emitter SIGABRT:
+    reversed/windowed lowerings (jnp.convolve, [..., ::-1] slices,
+    lax.reduce_window) intermittently crash the TPU compiler
+    (fusion_emitter.cc:4273 window-bounds CHECK).  The hot compiled
+    programs must stay free of that op class."""
+    import re
+
+    import jax
+
+    import bench
+
+    chunk_fn, key, lane, I = bench.build_match_chunk()
+    i1 = (lane * 7) % I
+    i2 = (lane * 11 + 1) % I
+    txt = jax.jit(chunk_fn).lower(i1, i2, key).as_text()
+    step, imgs = bench.build_detect_step()
+    txt2 = jax.jit(step).lower(imgs).as_text()
+    for name, t in [("match chunk", txt), ("detect batch", txt2)]:
+        for pat in ("reduce_window", "stablehlo.reverse", "convolution"):
+            n = len(re.findall(pat, t))
+            assert n == 0, f"{name} contains {n} {pat} ops"
