@@ -467,7 +467,7 @@ def kernel_roofline(fn, args, dt):
 # Bump when any CPU-baseline formulation changes: cached baseline values in
 # runs/cpu_baseline.json are reused only when the version matches, so the
 # slow native-CPU timing subprocess runs once per formulation, not per run.
-CPU_BASELINE_VERSION = 5
+CPU_BASELINE_VERSION = 6
 _CPU_CACHE = "runs/cpu_baseline.json"
 
 
