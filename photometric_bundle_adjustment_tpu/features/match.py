@@ -32,14 +32,20 @@ def hamming_matrix(d1: jax.Array, d2: jax.Array) -> jax.Array:
     return acc
 
 
-def _best_two_xla(d1, d2, valid2):
-    dist = hamming_matrix(d1, d2)
-    dist = jnp.where(valid2[None, :], dist, BIG)
-    best = jnp.min(dist, axis=1)
-    bidx = jnp.argmin(dist, axis=1).astype(jnp.int32)
-    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    second = jnp.min(jnp.where(col == bidx[:, None], BIG, dist), axis=1)
+def _best_two_from(dist, axis):
+    """(best, second, best_idx) along ``axis`` of a masked distance
+    matrix (invalid entries already BIG)."""
+    best = jnp.min(dist, axis=axis)
+    bidx = jnp.argmin(dist, axis=axis).astype(jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, dist.shape, axis)
+    hit = idx == jnp.expand_dims(bidx, axis)
+    second = jnp.min(jnp.where(hit, BIG, dist), axis=axis)
     return best, second, bidx
+
+
+def _best_two_xla(d1, d2, valid2):
+    dist = jnp.where(valid2[None, :], hamming_matrix(d1, d2), BIG)
+    return _best_two_from(dist, 1)
 
 
 def _one_way(best, second, bidx, valid1, threshold, ratio):
@@ -72,8 +78,14 @@ def match_descriptors(
         n1 = jnp.sum(valid1.astype(jnp.int32))
         b2, s2, i2 = hamming.best_two_nn(d2, d1, n1)
     else:
-        b1, s1, i1 = _best_two_xla(d1, d2, valid2)
-        b2, s2, i2 = _best_two_xla(d2, d1, valid1)
+        # ONE Hamming matrix serves both directions (hamming(a, b) is
+        # symmetric in the pair): the reverse pass reduces along axis 0
+        # instead of recomputing the XOR/popcount matrix transposed.
+        dist = hamming_matrix(d1, d2)
+        b1, s1, i1 = _best_two_from(
+            jnp.where(valid2[None, :], dist, BIG), 1)
+        b2, s2, i2 = _best_two_from(
+            jnp.where(valid1[:, None], dist, BIG), 0)
 
     m12 = _one_way(b1, s1, i1, valid1, threshold, ratio)  # (N1,)
     m21 = _one_way(b2, s2, i2, valid2, threshold, ratio)  # (N2,)
