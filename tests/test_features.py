@@ -325,3 +325,50 @@ def test_ransac_pnp_p3p_beats_dlt_at_high_outlier_rate():
         counts[solver] = int(np.asarray(inl).sum())
     assert counts["p3p"] >= 0.9 * n_true, counts
     assert counts["p3p"] >= counts["dlt"], counts
+
+
+def test_decompose_essential_matches_svd_form():
+    """The closed-form (adjugate + cross-product-null) decomposition must
+    reproduce the textbook SVD decomposition's candidate set to machine
+    precision, including the joint (R, t) pairing."""
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(11)
+    worst = 0.0
+    for i in range(100):
+        R = Rotation.random(random_state=1000 + i).as_matrix()
+        t = rng.normal(size=3)
+        t /= np.linalg.norm(t)
+        E = np.asarray(geometry.skew(jnp.asarray(t)) @ jnp.asarray(R))
+        Rs, ts = geometry.decompose_essential(
+            jnp.asarray(E * rng.uniform(0.2, 5.0)))
+        errj = min(
+            float(jnp.abs(Rs[k] - R).max() + jnp.abs(ts[k] - t).max())
+            for k in range(4)
+        )
+        worst = max(worst, errj)
+    assert worst < 1e-12, worst
+
+
+def test_p3p_triad_alignment_exact():
+    """The SVD-free congruent-triangle alignment recovers the exact pose
+    for clean correspondences (one of the four candidates)."""
+    from photometric_bundle_adjustment_tpu.features import p3p
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(12)
+    for i in range(50):
+        R = Rotation.random(random_state=2000 + i).as_matrix()
+        t = rng.normal(size=3)
+        Pw = rng.normal(size=(3, 3)) * 2.0
+        Pc = (R @ Pw.T).T + t + np.array([0, 0, 8.0])
+        if (Pc[:, 2] <= 0.1).any():
+            continue
+        f = Pc / np.linalg.norm(Pc, axis=1, keepdims=True)
+        Rs, ts, valid = p3p.p3p_candidates(jnp.asarray(f), jnp.asarray(Pw))
+        t_true = t + np.array([0, 0, 8.0])
+        errs = [
+            float(jnp.abs(Rs[k] - R).max() + jnp.abs(ts[k] - t_true).max())
+            for k in range(4) if bool(valid[k])
+        ]
+        assert errs and min(errs) < 1e-6, (i, errs)
