@@ -1,0 +1,875 @@
+"""Fused photometric-BA megakernel: warp + patch sampling + Jacobian +
+Huber + per-observation normal-equation payloads in ONE Pallas pass.
+
+This is the round-4 redesign of the photometric LM iteration (the flagship
+capability — the reference repo's raison d'etre is DSO-style photometric
+bundle adjustment, /root/reference/README.md:2, on the anchored
+inverse-depth warp of include/visnav/reprojection.h:74-118 and the patch
+residual of common_types.h:188-219).  The round-3 pipeline evaluated the
+warp chain in XLA (vmapped per-observation, small-trailing-dim arrays),
+sampled through the Pallas patch kernel, and re-assembled Jacobians in XLA
+— the device trace showed ~8.7 ms of fragmented XLA fusions + layout
+bridges around a 6.3 ms sampler (17.5 ms/iteration total).  Here the whole
+residual+Jacobian evaluation runs in GROUP ORDER end-to-end:
+
+  phase 1 (XLA, transposed "plane" layout): pose gathers, the ray-form
+    warp q = M d + rho u, the model projection + its analytic Jacobian
+    (core/camera_slab.py), and the two 13-column coefficient slabs
+
+        A[k] = dpi_u/dq . dq/dtheta_k,   B[k] = dpi_v/dq . dq/dtheta_k
+
+    such that the full geometric Jacobian row is
+    J_geo[p, k] = gx[p] A[p, k] + gy[p] B[p, k].  Every array is
+    (rows, O) with the observation axis in lanes — no (P, 2, 3)/(P, 3, 13)
+    tile-padded intermediates, which is what fragmented round 3.
+
+  phase 2 (Pallas): per 128-observation group (observations pre-sorted by
+    target image; the image is VMEM-staged once per image via a
+    scalar-prefetch-driven BlockSpec), the 128 unrolled sampler bodies
+    resolve all 8 patch pixels x {value, d/dx, d/dy} as ONE stacked
+    (3P, TILE_H) x (TILE_H, TILE_W) MXU contraction + one reduction dot
+    per observation; then slab-wide epilogue math forms the residual,
+    affine-brightness partials, Huber weights, the sqrt-weighted Jacobian
+    rows, the robust cost, AND the per-observation Schur payloads
+    A0 = J^T J_rho-col and A1 = J^T r — so the downstream dense assembly
+    (optim/fused.py build_dense semantics) needs no J-column passes at all.
+
+Output packing (one (184, Og) f32 array; rows):
+  [0:104)    J_geo * sw, k-major (row k*P + p), k = [t_a(3) phi_a(3)
+             t_c(3) phi_c(3) rho(1)]
+  [104:136)  affine partials * sw: aa, ab, ca, cb blocks of P rows each
+  [136:144)  r * sw
+  144        per-observation robust cost (0.5 rho(|r|^2))
+  [145:162)  A0 in W-column order [k0..5, aa, ab, k6..11, ca, cb, k12]
+  [162:179)  A1 in the same order
+  [179:184)  zero padding to the sublane multiple
+
+NaN semantics match the gather sampler (models/photometric_ba.py): a
+non-finite projection poisons that observation's residual (and so the
+robust cost) with NaN, which the LM accept check rejects; clamped
+(off-image / off-tile) samples contribute value-with-zero-gradient.
+
+Reference parity: this computes the exact residual/Jacobian of
+models/photometric_ba.make_rj_fn (golden-tested against it); the Ceres
+configuration it replaces is SPARSE_SCHUR with autodiff patch residuals
+(include/visnav/map_utils.h:322-399).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from photometric_bundle_adjustment_tpu.core import camera_slab, cameras, se3
+from photometric_bundle_adjustment_tpu.optim import ba
+from photometric_bundle_adjustment_tpu.optim.schur_plan import (
+    DenseLmSchurPlan,
+    _chunk_segments,
+    _round_up,
+)
+
+P = 8            # DSO patch size
+GROUP = 256      # observations per grid step
+TILE_H = 24
+TILE_W = 256     # fetched tile width (lane starts must be 128-aligned)
+XW = 256         # post-roll sampling window width: each body lane-rotates
+#                  its tile so the patch's min-x lands at lane 0, halving
+#                  the x-tap masks and both MXU contractions vs the raw
+#                  256-lane tile (128 is the minimum physical lane tile, so
+#                  going narrower buys nothing).  Patches stretched wider
+#                  than XW-3 px in x clamp to the window edge with zero
+#                  gradient (same treatment as off-image samples).
+OUT_ROWS = 184   # 179 payload rows padded to a sublane multiple
+ROW_COST = 144
+_SEG_GROUPS = 1536  # bounds scalar-prefetch SMEM residency (see patch_sample)
+
+# W-column order (the standard 17-wide tangent layout of optim/fused.py:
+# [se3_a(6), aff_a(2), se3_c(6), aff_c(2), rho]) expressed as output-row
+# block starts: k-major geo rows then the four affine blocks.
+_W_BLOCK_ROWS = (
+    [k * P for k in range(6)]          # c = 0..5   -> k0..5
+    + [104, 112]                       # c = 6, 7   -> aa, ab
+    + [(k + 6) * P for k in range(6)]  # c = 8..13  -> k6..11
+    + [120, 128]                       # c = 14, 15 -> ca, cb
+    + [96]                             # c = 16     -> k12 (rho)
+)
+
+# J2 standard p-major column j = p*17 + c  ->  kernel output row
+PERMCOLS = np.array(
+    [_W_BLOCK_ROWS[c] + p for p in range(P) for c in range(17)], np.int32
+)
+
+
+class MegaConsts(NamedTuple):
+    """Static (per-solve) device slabs, all in group order."""
+
+    d3: jax.Array       # (3P, Og) unprojected anchor-patch dirs, row j*P+p
+    intr_t: jax.Array   # (8, Og) target intrinsics slab
+    refp: jax.Array     # (P, Og) reference patch intensities
+    an: jax.Array       # (Og,) int32 anchor camera
+    tn: jax.Array       # (Og,) int32 target camera
+    lm: jax.Array       # (Og,) int32 landmark
+    timg: jax.Array     # (Og,) int32 target image (sampling source)
+    iog: jax.Array      # (ng,) int32 image of group
+    cnt: jax.Array      # (ng,) int32 valid observations per group
+
+
+class MegaPlan(NamedTuple):
+    """Assembly plan: group-space pair chunks + slot-space lift tables."""
+
+    pg: jax.Array             # (NCp, Bp) int32 group-row ids; dummy -> zrow
+    cc_rows4: jax.Array       # (NCp, 4) int32 into K*K [+1 dropped]
+    g_of_s: jax.Array         # (Os,) int32 slot row -> group row; pad -> zrow
+    obs_anchor_cam: jax.Array  # (Os,) int32; K for padding slots
+    obs_target_cam: jax.Array  # (Os,)
+    lm_cam: jax.Array          # (S, L) int32; K for padding
+    anchor_cam_of_lm: jax.Array  # (L,) int32; K if landmark has no obs
+
+
+# ---------------------------------------------------------------------------
+# host-side layout
+# ---------------------------------------------------------------------------
+
+
+def mega_layout(target_img: np.ndarray, valid: np.ndarray, n_images: int):
+    """Group layout over VALID observations only (unlike
+    patch_sample.group_layout, which lays out every row): rows are sorted
+    by target image and each image's range padded to a GROUP multiple.
+
+    Returns ``(order, img_of_group, group_counts, g_of_s, zrow)`` where
+    ``order`` maps group rows to slot rows (-1 = padding), ``g_of_s`` maps
+    slot rows to group rows (invalid/padding slots -> ``zrow``), and
+    ``zrow`` is a guaranteed padding group row whose kernel outputs are
+    exactly zero (used as the gather dummy)."""
+    ti = np.asarray(target_img)
+    v = np.asarray(valid).astype(bool)
+    Os = ti.shape[0]
+    vidx = np.flatnonzero(v)
+    counts = np.bincount(ti[vidx], minlength=n_images)
+    padded = -(-counts // GROUP) * GROUP
+    if padded.sum() == counts.sum():
+        # no padding slot anywhere: append one empty group to provide the
+        # zero row (an all-full layout is otherwise possible)
+        padded[0] += GROUP
+    offs = np.r_[0, np.cumsum(padded)]
+    order = np.full(offs[-1], -1, np.int64)
+    sort_idx = vidx[np.argsort(ti[vidx], kind="stable")]
+    starts = np.r_[0, np.cumsum(counts)]
+    for i in range(n_images):
+        if counts[i]:
+            order[offs[i]: offs[i] + counts[i]] = (
+                sort_idx[starts[i]: starts[i] + counts[i]]
+            )
+    img_of_group = np.repeat(np.arange(n_images), padded // GROUP)
+    slot_base = np.arange(offs[-1]) - np.repeat(offs[:-1], padded)
+    grp_start = slot_base[::GROUP]
+    cnt_img = np.repeat(counts, padded // GROUP)
+    group_counts = np.clip(cnt_img - grp_start, 0, GROUP)
+    zrow = int(np.flatnonzero(order < 0)[0])
+    g_of_s = np.full(Os, zrow, np.int64)
+    g_of_s[order[order >= 0]] = np.flatnonzero(order >= 0)
+    return (order, img_of_group.astype(np.int32),
+            group_counts.astype(np.int32), g_of_s, zrow)
+
+
+def build_mega_plan(problem_slot: ba.BAProblem, plan_slot: DenseLmSchurPlan,
+                    n_images: int, *, pair_chunk: int = 32,
+                    nc_bucket: int = 64, pow2_buckets: bool = False):
+    """Build (consts, plan, meta) for a slot-major photometric problem.
+
+    ``problem_slot``/``plan_slot`` come from ``fused.densify_problem``; the
+    group layout, pair chunks (in GROUP space) and slot->group map are
+    built here, the slot-space lift tables are reused from the dense plan.
+    """
+    o = problem_slot.obs
+    aux = o.aux
+    K = jax.tree_util.tree_leaves(problem_slot.cam_states)[0].shape[0]
+    valid = np.asarray(o.valid) != 0
+    timg = np.asarray(aux.target_img)
+    order, iog, cnt, g_of_s, zrow = mega_layout(timg, valid, n_images)
+    Og = order.shape[0]
+    take = np.where(order >= 0, order, 0)
+
+    an_s = np.asarray(o.anchor_cam)
+    tn_s = np.asarray(o.target_cam)
+    lm_s = np.asarray(o.landmark)
+    an_g = an_s[take].astype(np.int32)
+    tn_g = tn_s[take].astype(np.int32)
+    lm_g = lm_s[take].astype(np.int32)
+    timg_g = timg[take].astype(np.int32)
+    # padding rows sample their group's image (well-defined location)
+    timg_g[order < 0] = np.repeat(iog, GROUP)[order < 0]
+
+    # pair-Gram chunks over GROUP rows (valid rows only; dummy -> zrow)
+    gv = np.flatnonzero(order >= 0)
+    pair_ids = an_g[gv] * K + tn_g[gv]
+    gidx, prows = _chunk_segments(pair_ids, pair_chunk)
+    gidx = np.where(gidx >= 0, gv[np.clip(gidx, 0, None)], zrow)
+    NCp = gidx.shape[0]
+    NCpb = _round_up(NCp, nc_bucket, pow2_buckets)
+    pg = np.full((NCpb, pair_chunk), zrow, np.int64)
+    pg[:NCp] = gidx
+    pa, pc = prows // K, prows % K
+    rows4 = np.stack(
+        [pa * K + pa, pa * K + pc, pc * K + pa, pc * K + pc], 1
+    )
+    cc_rows4 = np.full((NCpb, 4), K * K, np.int64)
+    cc_rows4[:NCp] = rows4
+
+    plan = MegaPlan(
+        pg=jnp.asarray(pg.astype(np.int32)),
+        cc_rows4=jnp.asarray(cc_rows4.astype(np.int32)),
+        g_of_s=jnp.asarray(g_of_s.astype(np.int32)),
+        obs_anchor_cam=jnp.asarray(plan_slot.obs_anchor_cam),
+        obs_target_cam=jnp.asarray(plan_slot.obs_target_cam),
+        lm_cam=jnp.asarray(plan_slot.lm_cam),
+        anchor_cam_of_lm=jnp.asarray(plan_slot.anchor_cam_of_lm),
+    )
+    meta = dict(order=order, take=take, Og=Og, zrow=zrow)
+    return plan, meta, (an_g, tn_g, lm_g, timg_g, iog, cnt)
+
+
+def make_mega_consts(model: str, problem_slot: ba.BAProblem, meta,
+                     idx_arrays, dtype=jnp.float32) -> MegaConsts:
+    """Precompute the static group-order slabs (host-side, once per solve)."""
+    from photometric_bundle_adjustment_tpu.models.photometric_ba import (
+        PATCH_OFFSETS,
+    )
+
+    an_g, tn_g, lm_g, timg_g, iog, cnt = idx_arrays
+    take = meta["take"]
+    aux = problem_slot.obs.aux
+    uv_ref = np.asarray(aux.uv_ref)[take]
+    intr_ref = np.asarray(aux.intr_ref)[take]
+    intr_t = np.asarray(aux.intr_target)[take]
+    refp = np.asarray(aux.ref_patch)[take]
+
+    # computed at the PROBLEM dtype so the result is bit-comparable with the
+    # gather path (models/photometric_ba.make_rj_fn computes dirs in-loop at
+    # the same precision)
+    uv_patch = uv_ref[:, None, :] + PATCH_OFFSETS[None, :, :]  # (Og, P, 2)
+    dirs = np.asarray(
+        cameras.unproject_unit(
+            model, jnp.asarray(intr_ref, dtype)[:, None, :],
+            jnp.asarray(uv_patch, dtype),
+        )
+    )                                                          # (Og, P, 3)
+    d3 = np.transpose(dirs, (2, 1, 0)).reshape(3 * P, -1)      # row j*P+p
+
+    return MegaConsts(
+        d3=jnp.asarray(d3, dtype),
+        intr_t=jnp.asarray(intr_t.T, dtype),
+        refp=jnp.asarray(refp.T, dtype),
+        an=jnp.asarray(an_g),
+        tn=jnp.asarray(tn_g),
+        lm=jnp.asarray(lm_g),
+        timg=jnp.asarray(timg_g),
+        iog=jnp.asarray(iog),
+        cnt=jnp.asarray(cnt),
+    )
+
+
+# ---------------------------------------------------------------------------
+# phase 1: warp + projection + Jacobian coefficient slabs (XLA)
+# ---------------------------------------------------------------------------
+
+
+def _rot_planes(q):
+    """Unit quaternion rows (N, 4) -> 3x3 list of (N,) rotation entries
+    (same element formulas as se3.quat_to_matrix)."""
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    one = jnp.ones_like(x)
+    return [
+        [one - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+        [2 * (xy + wz), one - 2 * (xx + zz), 2 * (yz - wx)],
+        [2 * (xz - wy), 2 * (yz + wx), one - 2 * (xx + yy)],
+    ]
+
+
+def warp_slabs(model: str, cam_states, inv_depth, consts: MegaConsts):
+    """Phase-1: group-order plane-layout warp evaluation.
+
+    Returns (ux, uy, fin, GA, GB): pixel planes (P, Og) with non-finite
+    projections replaced by -1e6, the finite mask (P, Og), and the two
+    (104, Og) Jacobian coefficient slabs (k-major rows k*P + p).
+    """
+    poses = cam_states.pose                        # (K, 7)
+    pa = poses[consts.an]                          # (Og, 7)
+    pc = poses[consts.tn]
+    # 1-D gathers lower to a pathological per-element loop on TPU (measured
+    # 350 us for 41k elements); pad the landmark state to 8-wide rows so
+    # the fast row-gather path applies (~8 us).  The barrier stops XLA from
+    # narrowing the gather back to one column.
+    lmstate = jnp.pad(inv_depth[:, None], ((0, 0), (0, 7)))
+    lmrows = jax.lax.optimization_barrier(lmstate[consts.lm])  # (Og, 8)
+    rho = lmrows[:, 0][None, :]                    # (1, Og)
+    Ra = _rot_planes(pa[:, 3:7])
+    Rc = _rot_planes(pc[:, 3:7])
+    # M[j][c] = sum_i Rc[i][j] Ra[i][c]  (M = Rc^T Ra);  u_j = Rc^T (ta-tc)
+    M = [[sum(Rc[i][j] * Ra[i][c] for i in range(3))[None, :]
+          for c in range(3)] for j in range(3)]
+    dt = [pa[:, i] - pc[:, i] for i in range(3)]
+    u = [sum(Rc[i][j] * dt[i] for i in range(3))[None, :] for j in range(3)]
+
+    d = [consts.d3[j * P:(j + 1) * P] for j in range(3)]   # 3 x (P, Og)
+    q = [M[j][0] * d[0] + M[j][1] * d[1] + M[j][2] * d[2] + rho * u[j]
+         for j in range(3)]
+
+    ux0, uy0, Jpi0, Jpi1 = camera_slab.project_slab(
+        model, consts.intr_t, q[0], q[1], q[2]
+    )
+
+    def coeff(Jp):
+        a = [Jp[0] * M[0][c] + Jp[1] * M[1][c] + Jp[2] * M[2][c]
+             for c in range(3)]
+        blocks = [rho * a[0], rho * a[1], rho * a[2]]
+        # dphi_a: d x a
+        blocks += [d[1] * a[2] - d[2] * a[1],
+                   d[2] * a[0] - d[0] * a[2],
+                   d[0] * a[1] - d[1] * a[0]]
+        # dt_c: -rho * Jpi
+        blocks += [-rho * Jp[0], -rho * Jp[1], -rho * Jp[2]]
+        # dphi_c: Jpi x q
+        blocks += [Jp[1] * q[2] - Jp[2] * q[1],
+                   Jp[2] * q[0] - Jp[0] * q[2],
+                   Jp[0] * q[1] - Jp[1] * q[0]]
+        # drho: Jpi . u
+        blocks += [Jp[0] * u[0] + Jp[1] * u[1] + Jp[2] * u[2]]
+        return jnp.concatenate(blocks, axis=0)     # (104, Og)
+
+    GA = coeff(Jpi0)
+    GB = coeff(Jpi1)
+    fin = jnp.isfinite(ux0) & jnp.isfinite(uy0)
+    ux = jnp.where(fin, ux0, -1e6)
+    uy = jnp.where(fin, uy0, -1e6)
+    return ux, uy, fin, GA, GB
+
+
+def _tile_prologue(ux, uy, H, W, Hp):
+    """Tile-start codes + window-relative stacked-tap coordinates (XLA).
+
+    The code packs (y0/8, x0/128, xoff): the kernel slices the 128-aligned
+    (TILE_H, TILE_W) tile, lane-rotates it by ``xoff`` (Mosaic supports
+    dynamic rotates; dynamic unaligned slices it does not), and samples in
+    the first XW lanes.  xoff <= 127 < TILE_W - XW, so the rotated window
+    never wraps."""
+    dtype = ux.dtype
+    xc = jnp.clip(ux, 0.0, W - 1.001)
+    yc = jnp.clip(uy, 0.0, H - 1.001)
+    xs = jnp.maximum(
+        jnp.floor(jnp.min(xc, axis=0)).astype(jnp.int32) - 1, 0
+    )
+    x0 = xs // 128 * 128
+    xoff = xs - x0                                          # [0, 127]
+    y0 = jnp.clip(
+        jnp.floor(jnp.min(yc, axis=0)).astype(jnp.int32) - 1, 0, Hp - TILE_H
+    ) // 8 * 8
+    code = (y0 // 8) * 16384 + (x0 // 128) * 128 + xoff
+    ws = xs if XW < TILE_W else x0      # window start the kernel samples in
+    rx = jnp.clip(xc - ws.astype(dtype)[None, :], 0.0, XW - 1.001)
+    ry = jnp.clip(yc - y0.astype(dtype)[None, :], 0.0, TILE_H - 1.001)
+    # gradient validity is applied as an epilogue mask (NOT the -2 tap
+    # coding of ops/patch_sample.py): the derivative tap masks then share
+    # the value taps' column indices, halving the in-kernel weight build
+    in_x = (ux >= 0.0) & (ux <= W - 1.001) & (
+        xc - ws.astype(dtype)[None, :] <= XW - 1.001
+    )
+    in_y = (uy >= 0.0) & (uy <= H - 1.001) & (
+        yc - y0.astype(dtype)[None, :] <= TILE_H - 1.001
+    )
+    return code, rx, ry, in_x, in_y
+
+
+# ---------------------------------------------------------------------------
+# phase 2: the megakernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(huber_delta: float, mode: str = "full"):
+    """``mode`` is a profiling aid: "full" (production), "loop_only"
+    (sampler loop + raw acc out, no combine), "weights_only" (weight
+    construction + combine on zero samples, no loop)."""
+    Q = 2 * P
+    R3 = 3 * P
+
+    def kernel(iog_ref, cnt_ref, code_ref, rx2_ref, ry2_ref, ga_ref, gb_ref,
+               refp_ref, aff_ref, fin_ref, img_ref, out_ref,
+               acc_v, acc_gx, acc_gy, wxd3, wyd3):
+        g = pl.program_id(0)
+        base = g * GROUP
+        cnt = cnt_ref[g]
+
+        if mode == "empty":
+            out_ref[...] = jnp.zeros((OUT_ROWS, GROUP), jnp.float32)
+            return
+
+        rxT = rx2_ref[:]                       # (GROUP, P) pre-transposed
+        ryT = ry2_ref[:]
+        dtype = rxT.dtype
+
+        # stacked-tap weights: rows 0..P-1 of each scratch carry the
+        # bilinear value taps (1-f, f), rows P..2P-1 the derivative taps
+        # (-1, +1).  Both halves share the VALUE coordinates' one-hot
+        # columns (is0/is1) — gradient invalidation happens in the slab
+        # epilogue via the inx/iny masks, not in the taps — so only P rows
+        # of compares are built per axis (half of the -2-coding scheme).
+        cxT = jnp.floor(rxT)
+        cyT = jnp.floor(ryT)
+        fxT = rxT - cxT
+        fyT = ryT - cyT
+        cxiT = cxT.astype(jnp.int32)
+        cyiT = cyT.astype(jnp.int32)
+
+        colsP = jax.lax.broadcasted_iota(jnp.int32, (GROUP, P, XW), 2)
+        rowsP = jax.lax.broadcasted_iota(jnp.int32, (GROUP, P, TILE_H), 2)
+        isx0 = (colsP == cxiT[:, :, None]).astype(dtype)
+        isx1 = (colsP == cxiT[:, :, None] + 1).astype(dtype)
+        wxd3[:, 0:P, :] = isx0 * (1.0 - fxT[:, :, None]) \
+            + isx1 * fxT[:, :, None]
+        wxd3[:, P:Q, :] = isx1 - isx0
+        isy0 = (rowsP == cyiT[:, :, None]).astype(dtype)
+        isy1 = (rowsP == cyiT[:, :, None] + 1).astype(dtype)
+        wyd3[:, 0:P, :] = isy0 * (1.0 - fyT[:, :, None]) \
+            + isy1 * fyT[:, :, None]
+        wyd3[:, P:Q, :] = isy1 - isy0
+
+        ones_w = jnp.ones((1, XW), jnp.float32)
+        dn = (((1,), (1,)), ((), ()))
+
+        if mode != "weights_only":
+            for t in range(GROUP):
+                @pl.when(t < cnt)
+                def _(t=t):
+                    code = code_ref[base + t]
+                    y0 = pl.multiple_of((code >> 14) * 8, 8)
+                    x0 = pl.multiple_of(((code >> 7) & 0x7F) * 128, 128)
+                    tile = img_ref[0, pl.ds(y0, TILE_H), pl.ds(x0, TILE_W)]
+                    if XW < TILE_W:
+                        xoff = code & 0x7F
+                        tw = pltpu.roll(tile, -xoff, 1)[:, :XW]
+                    else:
+                        tw = tile
+                    wxd = wxd3[t]
+                    TY = jnp.dot(wyd3[t], tw,
+                                 preferred_element_type=jnp.float32)
+                    acc_v[:, t: t + 1] = jax.lax.dot_general(
+                        TY[0:P, :] * wxd[0:P, :], ones_w, dn,
+                        preferred_element_type=jnp.float32)
+                    acc_gx[:, t: t + 1] = jax.lax.dot_general(
+                        TY[0:P, :] * wxd[P:, :], ones_w, dn,
+                        preferred_element_type=jnp.float32)
+                    acc_gy[:, t: t + 1] = jax.lax.dot_general(
+                        TY[P:, :] * wxd[0:P, :], ones_w, dn,
+                        preferred_element_type=jnp.float32)
+
+        if mode == "loop_only":
+            out_ref[0:P, :] = acc_v[:]
+            out_ref[P:2 * P, :] = acc_gx[:]
+            out_ref[2 * P:R3, :] = acc_gy[:]
+            out_ref[R3:OUT_ROWS, :] = jnp.zeros(
+                (OUT_ROWS - R3, GROUP), jnp.float32
+            )
+            return
+
+        # ---- slab epilogue: residual, Huber, Jacobian rows, payloads ----
+        val = acc_v[:]
+        gx = acc_gx[:]
+        gy = acc_gy[:]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
+        slot_ok = lanes < cnt                                # (1, GROUP)
+        fin = fin_ref[0:P, :] != 0                           # (P, GROUP)
+        inx = fin_ref[P:2 * P, :] != 0
+        iny = fin_ref[2 * P:3 * P, :] != 0
+
+        aff = aff_ref[:]                                     # (4, GROUP)
+        e = jnp.exp(aff[2:3, :] - aff[0:1, :])               # (1, GROUP)
+        ref_term = refp_ref[:] - aff[1:2, :]                 # (P, GROUP)
+        r0 = (val - aff[3:4, :]) - e * ref_term
+        r0 = jnp.where(fin, r0, jnp.nan)
+        r = jnp.where(slot_ok, r0, 0.0)
+        gxm = jnp.where(slot_ok & inx, gx, 0.0)
+        gym = jnp.where(slot_ok & iny, gy, 0.0)
+
+        r2 = jnp.sum(r * r, axis=0, keepdims=True)           # (1, GROUP)
+        if huber_delta > 0:
+            sq = jnp.sqrt(jnp.maximum(r2, 1e-300))
+            inl = r2 <= huber_delta * huber_delta
+            w = jnp.where(inl, jnp.ones_like(r2), huber_delta / sq)
+            cost_row = 0.5 * jnp.where(
+                inl, r2, 2.0 * huber_delta * sq - huber_delta * huber_delta
+            )
+        else:
+            w = jnp.ones_like(r2)
+            cost_row = 0.5 * r2
+        w = jnp.where(slot_ok, w, 0.0)
+        sw = jnp.sqrt(w)                                     # (1, GROUP)
+
+        gx13 = jnp.concatenate([gxm] * 13, axis=0)           # (104, GROUP)
+        gy13 = jnp.concatenate([gym] * 13, axis=0)
+        Jgeo = (gx13 * ga_ref[:] + gy13 * gb_ref[:]) * sw
+        J_aa = e * ref_term * sw                             # (P, GROUP)
+        J_ab = jnp.broadcast_to(e * sw, (P, GROUP))
+        J_ca = -e * ref_term * sw
+        J_cb = jnp.broadcast_to(-sw, (P, GROUP))
+        rsw = r * sw
+
+        blocks17 = (
+            [Jgeo[k * P:(k + 1) * P, :] for k in range(6)]
+            + [J_aa, J_ab]
+            + [Jgeo[(k + 6) * P:(k + 7) * P, :] for k in range(6)]
+            + [J_ca, J_cb]
+            + [Jgeo[12 * P:13 * P, :]]
+        )
+        Jp_blk = blocks17[16]
+        A0 = jnp.concatenate(
+            [jnp.sum(b * Jp_blk, axis=0, keepdims=True) for b in blocks17],
+            axis=0,
+        )                                                    # (17, GROUP)
+        A1 = jnp.concatenate(
+            [jnp.sum(b * rsw, axis=0, keepdims=True) for b in blocks17],
+            axis=0,
+        )
+
+        out_ref[0:104, :] = Jgeo
+        out_ref[104:112, :] = J_aa
+        out_ref[112:120, :] = J_ab
+        out_ref[120:128, :] = J_ca
+        out_ref[128:136, :] = J_cb
+        out_ref[136:144, :] = rsw
+        out_ref[144:145, :] = cost_row
+        out_ref[145:162, :] = A0
+        out_ref[162:179, :] = A1
+        out_ref[179:OUT_ROWS, :] = jnp.zeros(
+            (OUT_ROWS - 179, GROUP), jnp.float32
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("HW", "huber_delta", "interpret", "mode")
+)
+def mega_rj(images3d, ux, uy, fin, GA, GB, refp, aff, iog, cnt,
+            HW, huber_delta: float, interpret: bool = False,
+            mode: str = "full"):
+    """Run the megakernel: (184, Og) payload array (see module docstring).
+
+    ``images3d`` must be pad_images-padded; ``aff`` is the (4, Og) affine
+    slab [a_r, b_r, a_t, b_t]; all other inputs are phase-1 outputs /
+    MegaConsts slabs.
+    """
+    H, W = HW
+    Kimg, Hp, Wp = images3d.shape
+    Og = ux.shape[1]
+    n_groups = Og // GROUP
+    code, rx, ry, in_x, in_y = _tile_prologue(ux, uy, H, W, Hp)
+    rx2 = rx.T.astype(jnp.float32)                 # (Og, P): the kernel
+    ry2 = ry.T.astype(jnp.float32)                 # wants lanes=taps
+    finf = jnp.concatenate(
+        [fin, in_x, in_y], axis=0
+    ).astype(jnp.float32)                          # (3P, Og) mask stack
+
+    def invoke(iog_s, cnt_s, code_s, rx2_s, ry2_s, ga_s, gb_s, refp_s,
+               aff_s, fin_s):
+        ng = iog_s.shape[0]
+        lane_spec = [
+            pl.BlockSpec((GROUP, P), lambda g, i, c, cd: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, P), lambda g, i, c, cd: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((104, GROUP), lambda g, i, c, cd: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((104, GROUP), lambda g, i, c, cd: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, GROUP), lambda g, i, c, cd: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, GROUP), lambda g, i, c, cd: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * P, GROUP), lambda g, i, c, cd: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, Hp, Wp),
+                lambda g, img_of_group, c, cd: (img_of_group[g], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # img_of_group, counts, code
+            grid=(ng,),
+            in_specs=lane_spec,
+            out_specs=pl.BlockSpec(
+                (OUT_ROWS, GROUP), lambda g, i, c, cd: (0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((P, GROUP), jnp.float32),
+                pltpu.VMEM((P, GROUP), jnp.float32),
+                pltpu.VMEM((P, GROUP), jnp.float32),
+                pltpu.VMEM((GROUP, 2 * P, XW), jnp.float32),
+                pltpu.VMEM((GROUP, 2 * P, TILE_H), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            _make_kernel(float(huber_delta), mode),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (OUT_ROWS, ng * GROUP), jnp.float32
+            ),
+            interpret=interpret,
+        )(iog_s.astype(jnp.int32), cnt_s.astype(jnp.int32),
+          code_s.astype(jnp.int32), rx2_s, ry2_s, ga_s, gb_s, refp_s,
+          aff_s, fin_s, images3d)
+
+    if n_groups <= _SEG_GROUPS:
+        return invoke(iog, cnt, code, rx2, ry2, GA, GB, refp, aff, finf)
+    parts = []
+    for s in range(0, n_groups, _SEG_GROUPS):
+        e_ = min(s + _SEG_GROUPS, n_groups)
+        sl = slice(s * GROUP, e_ * GROUP)
+        parts.append(invoke(
+            iog[s:e_], cnt[s:e_], code[sl], rx2[sl, :], ry2[sl, :],
+            GA[:, sl], GB[:, sl], refp[:, sl], aff[:, sl], finf[:, sl],
+        ))
+    return jnp.concatenate(parts, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# build: megakernel + dense Schur assembly (optim/fused.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def build_mega(model: str, images3d, problem: ba.BAProblem,
+               consts: MegaConsts, plan: MegaPlan, cfg: ba.BAConfig,
+               HW, interpret: bool = False):
+    """One normal-equation assembly; returns ``(cost, neq)`` with the same
+    neq tuple as optim/fused.py build_dense (H_cc_mat, S_corr0, rhs_corr0,
+    H_pp, g_c, g_p, M, inv0)."""
+    C = 8
+    K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
+    L = problem.inv_depth.shape[0]
+
+    ux, uy, fin, GA, GB = warp_slabs(
+        model, problem.cam_states, problem.inv_depth, consts
+    )
+    # affine rows via 8-wide padded row gathers (1-D gathers are ~400 us
+    # each on TPU; row gathers are ~free)
+    affp = jnp.pad(problem.cam_states.affine, ((0, 0), (0, 6)))  # (K, 8)
+    aff_a = affp[consts.an]                            # (Og, 8)
+    aff_t = affp[consts.tn]
+    aff = jnp.stack(
+        [aff_a[:, 0], aff_a[:, 1], aff_t[:, 0], aff_t[:, 1]], axis=0
+    )                                                  # (4, Og)
+
+    out = mega_rj(images3d, ux, uy, fin, GA, GB, consts.refp, aff,
+                  consts.iog, consts.cnt, HW=HW,
+                  huber_delta=float(cfg.huber_delta), interpret=interpret)
+
+    cost = jnp.sum(out[ROW_COST])
+    outT = out.T                                       # (Og, 184)
+    dtype = outT.dtype
+
+    # H_cc via camera-pair Gram chunks over group rows
+    J2 = outT[:, jnp.asarray(PERMCOLS)]                # (Og, 136)
+    rows = J2[plan.pg]                                 # (NCp, Bp, 136)
+    rows2 = rows.reshape(rows.shape[0], -1, 17)[..., :16]
+    G2 = jnp.einsum("nbi,nbj->nij", rows2, rows2)      # (NCp, 16, 16)
+    blocks = jnp.stack(
+        [G2[:, :C, :C], G2[:, :C, C:], G2[:, C:, :C], G2[:, C:, C:]],
+        axis=1,
+    ).reshape(-1, C * C)
+    H_cc = (
+        jnp.zeros((K * K + 1, C * C), dtype)
+        .at[plan.cc_rows4.reshape(-1)]
+        .add(blocks)[: K * K]
+        .reshape(K, K, C, C)
+    )
+
+    # per-observation Schur payloads, gathered back to slot order
+    AB = outT[:, 145:179][plan.g_of_s]                 # (Os, 34)
+    A0s = AB[:, :17]
+    A1s = AB[:, 17:]
+    S_ = plan.lm_cam.shape[0]
+    A0r = A0s.reshape(S_, L, 17)
+    red0 = A0r.sum(0)                                  # (L, 17)
+    anchor_v = red0[:, :C]
+    H_pp = red0[:, 16]
+    g_p = A1s[:, 16].reshape(S_, L).sum(0)
+
+    oh_an = jax.nn.one_hot(plan.obs_anchor_cam, K, dtype=dtype)
+    oh_tn = jax.nn.one_hot(plan.obs_target_cam, K, dtype=dtype)
+    g_c = oh_an.T @ A1s[:, :C] + oh_tn.T @ A1s[:, C:2 * C]
+
+    lm_mask = problem.lm_valid.astype(dtype)
+    inv0 = lm_mask / jnp.maximum(H_pp, cfg.min_inv_depth_hessian)
+    vt_sl = A0r[:, :, C:2 * C]                         # (S, L, C)
+    oh = jax.nn.one_hot(plan.lm_cam, K, dtype=dtype)
+    M = jnp.einsum("slk,slc->lkc", oh, vt_sl).reshape(L, K * C)
+    oh_a = jax.nn.one_hot(plan.anchor_cam_of_lm, K, dtype=dtype)
+    M = M + (oh_a[:, :, None] * anchor_v[:, None, :]).reshape(L, K * C)
+
+    Mw = M * inv0[:, None]
+    if cfg.skip_schur_gram:
+        S_corr0 = None
+    else:
+        prec = (jax.lax.Precision.HIGH
+                if cfg.schur_matmul_precision == "high"
+                else jax.lax.Precision.HIGHEST)
+        S_corr0 = jax.lax.dot(Mw.T, M, precision=prec)
+    rhs_corr0 = Mw.T @ g_p
+
+    H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C, K * C)
+    return cost, (H_cc_mat, S_corr0, rhs_corr0, H_pp, g_c, g_p, M, inv0)
+
+
+def solve_lam(neq, lam, free_cam_mask, cfg: ba.BAConfig):
+    """Per-lambda dense solve + back-substitution (optim/fused.py)."""
+    H_cc_mat, S_corr0, rhs_corr0, H_pp, g_c, g_p, M, inv0 = neq
+    KC = H_cc_mat.shape[0]
+    K = free_cam_mask.shape[0]
+    C_ = KC // K
+    dtype = g_c.dtype
+    d_cc = jnp.clip(jnp.diagonal(H_cc_mat), 1e-12, 1e32)
+    S = H_cc_mat + jnp.diag(lam * d_cc) - S_corr0 / (1.0 + lam)
+    rhs = -(g_c.reshape(-1) - rhs_corr0 / (1.0 + lam))
+    mask = jnp.repeat(free_cam_mask.astype(dtype), C_)
+    S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+    cho = jax.scipy.linalg.cho_factor(S, lower=True)
+    delta_c = jax.scipy.linalg.cho_solve(cho, rhs * mask) * mask
+    delta_p = -(g_p + M @ delta_c) * inv0 / (1.0 + lam)
+    return delta_c.reshape(K, C_), delta_p
+
+
+def _cam_retract(cam, delta):
+    return cam._replace(
+        pose=se3.right_plus(cam.pose, delta[:6]),
+        affine=cam.affine + delta[6:8],
+    )
+
+
+def make_mega_solver(model: str, images_flat: jax.Array, H: int, W: int,
+                     problem_slot: ba.BAProblem, n_images: int,
+                     plan_slot: DenseLmSchurPlan, *,
+                     interpret: bool = False, pow2_buckets: bool = False):
+    """Megakernel photometric LM solver for a slot-major problem.
+
+    Returns ``solve(problem, cfg) -> (problem, BAResult)`` with
+    ``.build(problem, cfg)`` / ``.solve_lam(neq, lam, free, cfg)`` exposed
+    for benchmarking; the padded image stack and the static slabs ride the
+    jit boundary as ARGUMENTS (HLO-constant inlining of ~250 MB of pixels
+    would blow up every compile — see models/photometric_ba.py).
+    """
+    from photometric_bundle_adjustment_tpu.ops import patch_sample as ps
+
+    images3d = images_flat.reshape(-1, H, W)
+    images_pad, HW = ps.pad_images(images3d)
+    plan, meta, idx_arrays = build_mega_plan(
+        problem_slot, plan_slot, n_images, pow2_buckets=pow2_buckets
+    )
+    consts = make_mega_consts(model, problem_slot, meta, idx_arrays)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _build(img, problem, consts, plan, cfg):
+        with jax.default_matmul_precision("float32"):
+            return build_mega(model, img, problem, consts, plan, cfg,
+                              HW=HW, interpret=interpret)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _solve_lam(neq, lam, free, cfg):
+        with jax.default_matmul_precision("float32"):
+            return solve_lam(neq, lam, free, cfg)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _solve(img, problem, consts, plan, cfg):
+        """Fused-cost LM loop (optim/fused.py solve_cost_from_build
+        semantics: the build at the trial point is both the accept check
+        and the next iteration's normal equations)."""
+        with jax.default_matmul_precision("float32"):
+            free = ~problem.fixed_cams
+            init_cost, neq0 = build_mega(
+                model, img, problem, consts, plan, cfg, HW=HW,
+                interpret=interpret,
+            )
+            dtype = problem.inv_depth.dtype
+
+            def apply_step(prob, dc, dp):
+                return prob._replace(
+                    cam_states=jax.vmap(_cam_retract)(prob.cam_states, dc),
+                    inv_depth=prob.inv_depth + dp,
+                )
+
+            def body(state):
+                prob, lam, cost, neq, rejects, iters, tries, done = state
+                dc, dp = solve_lam(neq, lam, free, cfg)
+                p_try = apply_step(prob, dc, dp)
+                cost_try, neq_try = build_mega(
+                    model, img, p_try, consts, plan, cfg, HW=HW,
+                    interpret=interpret,
+                )
+                ok = (cost_try < cost) & jnp.isfinite(cost_try)
+                p_new = prob._replace(
+                    cam_states=jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(ok, a, b),
+                        p_try.cam_states, prob.cam_states,
+                    ),
+                    inv_depth=jnp.where(ok, p_try.inv_depth, prob.inv_depth),
+                )
+                neq_new = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), neq_try, neq
+                )
+                cost_new = jnp.where(ok, cost_try, cost)
+                lam_new = jnp.where(
+                    ok, jnp.maximum(lam / 3.0, cfg.min_lambda), lam * 10.0
+                )
+                rejects_new = jnp.where(ok, 0, rejects + 1)
+                small = ok & (
+                    jnp.abs(cost - cost_try)
+                    <= cfg.function_tolerance * jnp.maximum(cost, 1e-300)
+                )
+                done_new = small | (rejects_new >= cfg.max_retries) | (
+                    lam_new > cfg.max_lambda
+                )
+                return (p_new, lam_new, cost_new, neq_new, rejects_new,
+                        iters + ok.astype(jnp.int32), tries + 1, done_new)
+
+            def cond(state):
+                _, _, _, _, _, iters, tries, done = state
+                return (~done) & (iters < cfg.max_iterations) & (
+                    tries < cfg.max_iterations * cfg.max_retries
+                )
+
+            state0 = (
+                problem, jnp.asarray(cfg.init_lambda, dtype), init_cost,
+                neq0, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
+                jnp.asarray(False),
+            )
+            prob, lam, cost, _, _, iters, _, _ = jax.lax.while_loop(
+                cond, body, state0
+            )
+            return prob, ba.BAResult(
+                cost=cost, initial_cost=init_cost, iterations=iters, lam=lam
+            )
+
+    def solve(problem, cfg: ba.BAConfig = ba.BAConfig()):
+        return _solve(images_pad, problem, consts, plan, cfg)
+
+    solve.build = lambda problem, cfg: _build(
+        images_pad, problem, consts, plan, cfg
+    )
+    solve.solve_lam = lambda neq, lam, free, cfg: _solve_lam(
+        neq, lam, free, cfg
+    )
+    solve.images_pad = images_pad
+    solve.HW = HW
+    solve.consts = consts
+    solve.plan = plan
+    solve.meta = meta
+    return solve

@@ -1,0 +1,183 @@
+"""Parity tests for the fused photometric megakernel (ops/pba_mega.py).
+
+The megakernel must reproduce the gather-sampler reference formulation
+(models/photometric_ba.py + optim/fused.py build_dense) — same residuals,
+same Jacobians, same normal equations, same LM decisions.  Runs the Pallas
+kernel in interpreter mode on CPU (tests/conftest.py pins JAX_PLATFORMS=cpu).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photometric_bundle_adjustment_tpu.core import camera_slab, cameras
+from photometric_bundle_adjustment_tpu.models import photometric_ba as pba
+from photometric_bundle_adjustment_tpu.optim import ba, fused
+from photometric_bundle_adjustment_tpu.ops import pba_mega
+
+
+# ---------------------------------------------------------------------------
+# slab projection Jacobians vs autodiff (f64 golden)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("model", ["pinhole", "eucm", "ds", "kb4"])
+def test_camera_slab_jacobian_matches_autodiff(model):
+    rng = np.random.default_rng(3)
+    N = 64
+    pts = rng.normal(size=(N, 3))
+    pts[:, 2] = np.abs(pts[:, 2]) + 0.5          # in front of the camera
+    intr = np.asarray(cameras.test_params(model, jnp.float64))
+    intr_slab = jnp.asarray(np.tile(intr[:, None], (1, N)))
+
+    qx = jnp.asarray(pts[None, :, 0])            # (1, N) planes
+    qy = jnp.asarray(pts[None, :, 1])
+    qz = jnp.asarray(pts[None, :, 2])
+    u, v, J0, J1 = camera_slab.project_slab(model, intr_slab, qx, qy, qz)
+
+    ref_uv = np.asarray(cameras.project(model, jnp.asarray(intr),
+                                        jnp.asarray(pts)))
+    Jref = np.asarray(jax.vmap(
+        jax.jacfwd(lambda p: cameras.project(model, jnp.asarray(intr), p))
+    )(jnp.asarray(pts)))                         # (N, 2, 3)
+
+    np.testing.assert_allclose(np.asarray(u)[0], ref_uv[:, 0], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(v)[0], ref_uv[:, 1], rtol=1e-10)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(J0[c])[0], Jref[:, 0, c], rtol=1e-7, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(J1[c])[0], Jref[:, 1, c], rtol=1e-7, atol=1e-9
+        )
+
+
+# ---------------------------------------------------------------------------
+# full build parity vs the gather-sampler dense build
+# ---------------------------------------------------------------------------
+
+
+def _small_problem(model="pinhole", K=12, L=48, obs_per_lm=3, H=64, W=96,
+                   seed=0):
+    from scripts.profile_pba import build_euroc_scale_pba
+
+    problem, images_flat, H, W = build_euroc_scale_pba(
+        K=K, L=L, obs_per_lm=obs_per_lm, H=H, W=W, seed=seed,
+        dtype=jnp.float32,
+    )
+    return problem, images_flat, H, W
+
+
+def test_mega_build_matches_gather_build():
+    model = "pinhole"
+    problem, images_flat, H, W = _small_problem()
+    cfg = ba.BAConfig(max_iterations=1, huber_delta=9.0,
+                      schur_matmul_precision="highest")
+    problem2, plan = fused.densify_problem(problem, pow2_buckets=False)
+    n_images = problem2.cam_states.pose.shape[0]
+
+    gather = pba.make_fused_solver(model, images_flat, H, W)
+    with jax.default_matmul_precision("float32"):
+        ref_cost, ref_neq = gather.build(problem2, plan, cfg)
+
+    mega = pba_mega.make_mega_solver(
+        model, images_flat, H, W, problem2, n_images, plan, interpret=True
+    )
+    cost, neq = mega.build(problem2, cfg)
+
+    np.testing.assert_allclose(float(cost), float(ref_cost), rtol=2e-4)
+    names = ["H_cc", "S_corr0", "rhs_corr0", "H_pp", "g_c", "g_p", "M",
+             "inv0"]
+    for name, a, b in zip(names, neq, ref_neq):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(
+            a, b, atol=3e-3 * scale, rtol=2e-3,
+            err_msg=f"neq piece {name} diverges from the gather build",
+        )
+
+
+def test_mega_build_matches_gather_build_ds():
+    """Same parity on the double-sphere model (the EuRoC pipeline model)."""
+    model = "ds"
+    problem, images_flat, H, W = _small_problem(K=12, L=32, obs_per_lm=2)
+    # swap intrinsics for ds test params scaled into the image
+    intr = np.array(cameras.test_params("ds", jnp.float32))
+    intr[0] = 60.0
+    intr[1] = 60.0
+    intr[2] = W / 2
+    intr[3] = H / 2
+    O = problem.obs.valid.shape[0]
+    aux = problem.obs.aux._replace(
+        intr_ref=jnp.tile(jnp.asarray(intr), (O, 1)),
+        intr_target=jnp.tile(jnp.asarray(intr), (O, 1)),
+    )
+    # re-extract reference patches under the new intrinsics (content
+    # irrelevant; consistency is what matters)
+    problem = problem._replace(obs=problem.obs._replace(aux=aux))
+
+    cfg = ba.BAConfig(max_iterations=1, huber_delta=9.0,
+                      schur_matmul_precision="highest")
+    problem2, plan = fused.densify_problem(problem, pow2_buckets=False)
+    n_images = problem2.cam_states.pose.shape[0]
+
+    gather = pba.make_fused_solver(model, images_flat, H, W)
+    with jax.default_matmul_precision("float32"):
+        ref_cost, ref_neq = gather.build(problem2, plan, cfg)
+
+    mega = pba_mega.make_mega_solver(
+        model, images_flat, H, W, problem2, n_images, plan, interpret=True
+    )
+    cost, neq = mega.build(problem2, cfg)
+
+    np.testing.assert_allclose(float(cost), float(ref_cost), rtol=2e-4)
+    for a, b in zip(neq, ref_neq):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=3e-3 * scale, rtol=2e-3)
+
+
+def test_mega_solve_reduces_cost_like_gather():
+    model = "pinhole"
+    problem, images_flat, H, W = _small_problem(seed=1)
+    cfg = ba.BAConfig(max_iterations=4, huber_delta=9.0,
+                      schur_matmul_precision="highest", cost_from_build=True)
+    problem2, plan = fused.densify_problem(problem, pow2_buckets=False)
+    n_images = problem2.cam_states.pose.shape[0]
+
+    # perturb poses so there is something to optimise
+    rng = np.random.default_rng(7)
+    noise = rng.normal(0, 1e-3, (n_images, 6))
+    noise[:2] = 0.0
+    from photometric_bundle_adjustment_tpu.core import se3
+
+    poses = np.asarray(problem2.cam_states.pose)
+    pert = np.asarray(jax.vmap(se3.right_plus)(
+        jnp.asarray(poses), jnp.asarray(noise, jnp.float32)))
+    problem2 = problem2._replace(
+        cam_states=problem2.cam_states._replace(
+            pose=jnp.asarray(pert, jnp.float32))
+    )
+
+    gather = pba.make_fused_solver(model, images_flat, H, W)
+    ref_prob, ref_res = gather(problem2, plan, cfg)
+
+    mega = pba_mega.make_mega_solver(
+        model, images_flat, H, W, problem2, n_images, plan, interpret=True
+    )
+    prob, res = mega(problem2, cfg)
+
+    assert float(res.cost) < float(res.initial_cost)
+    np.testing.assert_allclose(
+        float(res.initial_cost), float(ref_res.initial_cost), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(res.cost), float(ref_res.cost), rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(prob.cam_states.pose), np.asarray(ref_prob.cam_states.pose),
+        atol=1e-4,
+    )
