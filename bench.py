@@ -110,22 +110,40 @@ def build_pba_step(dtype, use_kernel: bool, **scale):
     # service rejects with HTTP 413.  time_iters threads ``const`` through
     # the fori_loop as a bound parameter instead.
     if use_kernel:
-        outer = pba.make_kernel_dense_solver(
-            "pinhole", images_flat, H, W, problem, n_images
+        # round-4 flagship path: the fused warp+sample+Jacobian+Schur
+        # megakernel (ops/pba_mega.py) — one Pallas pass per build
+        from photometric_bundle_adjustment_tpu.ops import pba_mega
+
+        mega = pba_mega.make_mega_solver(
+            "pinhole", images_flat, H, W, problem, n_images, plan
         )
-        const = outer.images_pad
-        make_solver = outer.make_inner
-    else:
-        # gather-sampler path (CPU baseline): images stay closure-captured —
-        # CPU compiles locally, so there is no compile-request size limit
-        gather_solver = pba.make_fused_solver("pinhole", images_flat, H, W)
-        const = jnp.zeros((1,), dtype)
+        const = (mega.images_pad, mega.consts, mega.plan)
+        HW = mega.HW
 
-        def make_solver(_images):
-            return gather_solver
+        def lm_step(problem, c):
+            images, consts, mplan = c
+            with jax.default_matmul_precision("float32"):
+                cost, neq = pba_mega.build_mega(
+                    "pinhole", images, problem, consts, mplan, cfg, HW=HW
+                )
+                dc, dp = pba_mega.solve_lam(
+                    neq, jnp.asarray(1e-4, problem.inv_depth.dtype),
+                    ~problem.fixed_cams, cfg,
+                )
+                new_cams = jax.vmap(pba.cam_retract)(problem.cam_states, dc)
+                return problem._replace(
+                    cam_states=new_cams, inv_depth=problem.inv_depth + dp
+                ), cost
 
-    def lm_step(problem, images):
-        solver = make_solver(images)
+        return lm_step, problem, const
+
+    # gather-sampler path (CPU baseline): images stay closure-captured —
+    # CPU compiles locally, so there is no compile-request size limit
+    gather_solver = pba.make_fused_solver("pinhole", images_flat, H, W)
+    const = jnp.zeros((1,), dtype)
+
+    def lm_step(problem, _images):
+        solver = gather_solver
         with jax.default_matmul_precision("float32"):
             cost, neq = solver.build(problem, plan, cfg)
             dc, dp = solver.solve_lam(
