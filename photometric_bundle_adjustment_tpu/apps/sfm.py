@@ -25,6 +25,12 @@ def main(argv=None):
                         help="Accepted for CLI parity; this app is headless.")
     parser.add_argument("--cache-dir", default=None)
     parser.add_argument("--map-out", default="map.pkl")
+    parser.add_argument(
+        "--stats-out", default="runs/last_run_stats.json",
+        help="write a JSON record of wall time, per-stage timings and "
+             "kernel-invocation counters ('' disables); bench.py uses it "
+             "to cross-check its frozen workload constants",
+    )
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
@@ -109,6 +115,33 @@ def main(argv=None):
         + ", ".join(f"{k}={v:.2f}" for k, v in sorted(pipe.timings.items()))
         + f", total={wall:.2f}s"
     )
+
+    if args.stats_out:
+        # machine-readable run record: bench.py reads it to (a) assert its
+        # frozen EUROC_WORKLOAD constants against the real run's kernel
+        # counters and (b) emit a keyframes/s estimate that includes the
+        # measured host bookkeeping (VERDICT r3: the device composite
+        # alone hides host time)
+        import json
+
+        stats = {
+            "n_images": len(timestamps) * 2,
+            "wall_s": round(wall, 3),
+            # device dispatch+fetch wall (incl. tunnel stalls) vs host
+            # bookkeeping (everything else: union-find, candidate sorting,
+            # Python chunking, outlier removal)
+            "device_s": round(pipe.device_seconds, 3),
+            "host_s": round(wall - pipe.device_seconds, 3),
+            "backend": jax.default_backend(),
+            "timings_s": {k: round(v, 3)
+                          for k, v in sorted(pipe.timings.items())},
+            "counters": dict(sorted(pipe.counters.items())),
+            "summary": pipe.summary(),
+        }
+        os.makedirs(os.path.dirname(args.stats_out) or ".", exist_ok=True)
+        with open(args.stats_out, "w") as f:
+            json.dump(stats, f, indent=1)
+        print(f"Saved run stats as {args.stats_out}")
 
     if args.map_out.endswith(".cereal"):
         # reference-native binary map the unmodified reference binary can

@@ -70,8 +70,10 @@ from photometric_bundle_adjustment_tpu.core import camera_slab, cameras, se3
 from photometric_bundle_adjustment_tpu.optim import ba
 from photometric_bundle_adjustment_tpu.optim.schur_plan import (
     DenseLmSchurPlan,
+    SchurPlan,
     _chunk_segments,
     _round_up,
+    build_schur_plan,
 )
 
 P = 8            # DSO patch size
@@ -730,6 +732,133 @@ def build_mega(model: str, images3d, problem: ba.BAProblem,
     return cost, (H_cc_mat, S_corr0, rhs_corr0, H_pp, g_c, g_p, M, inv0)
 
 
+def build_chunk_mega_plan(problem: ba.BAProblem, n_images: int, *,
+                          pair_chunk: int = 32, lm_chunk: int = 8,
+                          cam_chunk: int = 256, nc_bucket: int = 64,
+                          pow2_buckets: bool = False):
+    """Chunk-plan layout for a RAGGED (non-densified) photometric problem.
+
+    Real maps are heavy-tailed in observations-per-landmark (EuRoC V1: one
+    landmark with 96 obs -> an 18x slot blow-up under the dense S x L
+    layout), so the slot-space lift tables of ``build_mega_plan`` are the
+    wrong assembly there.  This variant lays the kernel out over VALID
+    observations only (per-image GROUP padding, ~1.3-1.7x) and assembles
+    the normal equations with the generic chunked segment-sum plans of
+    ``optim/schur_plan.build_schur_plan`` — built directly in GROUP space,
+    so no slot-order gather of the kernel output is needed at all.
+
+    Returns ``(cplan, meta, idx_arrays)`` with the same meta/idx contract
+    as ``build_mega_plan`` (feed to ``make_mega_consts``).
+    """
+    o = problem.obs
+    K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
+    L = problem.inv_depth.shape[0]
+    valid = np.asarray(o.valid) != 0
+    timg = np.asarray(o.aux.target_img)
+    order, iog, cnt, g_of_s, zrow = mega_layout(timg, valid, n_images)
+    Og = order.shape[0]
+    take = np.where(order >= 0, order, 0)
+    an_g = np.asarray(o.anchor_cam)[take].astype(np.int32)
+    tn_g = np.asarray(o.target_cam)[take].astype(np.int32)
+    lm_g = np.asarray(o.landmark)[take].astype(np.int32)
+    timg_g = timg[take].astype(np.int32)
+    timg_g[order < 0] = np.repeat(iog, GROUP)[order < 0]
+    cplan = build_schur_plan(
+        an_g, tn_g, lm_g, K, L, valid=(order >= 0),
+        pair_chunk=pair_chunk, lm_chunk=lm_chunk, cam_chunk=cam_chunk,
+        nc_bucket=nc_bucket, pow2_buckets=pow2_buckets,
+    )
+    meta = dict(order=order, take=take, Og=Og, zrow=zrow)
+    return cplan, meta, (an_g, tn_g, lm_g, timg_g, iog, cnt)
+
+
+def build_mega_chunk(model: str, images3d, problem: ba.BAProblem,
+                     consts: MegaConsts, cplan: SchurPlan,
+                     cfg: ba.BAConfig, HW, interpret: bool = False):
+    """Megakernel + chunk-plan assembly (optim/fused.py build_chunk
+    semantics); same ``(cost, neq)`` contract as ``build_mega``."""
+    from photometric_bundle_adjustment_tpu.optim.fused import _chunk_sum
+
+    C = 8
+    K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
+    L = problem.inv_depth.shape[0]
+
+    ux, uy, fin, GA, GB = warp_slabs(
+        model, problem.cam_states, problem.inv_depth, consts
+    )
+    affp = jnp.pad(problem.cam_states.affine, ((0, 0), (0, 6)))
+    aff_a = affp[consts.an]
+    aff_t = affp[consts.tn]
+    aff = jnp.stack(
+        [aff_a[:, 0], aff_a[:, 1], aff_t[:, 0], aff_t[:, 1]], axis=0
+    )
+
+    out = mega_rj(images3d, ux, uy, fin, GA, GB, consts.refp, aff,
+                  consts.iog, consts.cnt, HW=HW,
+                  huber_delta=float(cfg.huber_delta), interpret=interpret)
+
+    cost = jnp.sum(out[ROW_COST])
+    # zero dummy row at index Og: the chunk plans' dummy gathers point there
+    outT = jnp.pad(out.T, ((0, 1), (0, 0)))            # (Og+1, 184)
+    dtype = outT.dtype
+
+    J2 = outT[:, jnp.asarray(PERMCOLS)]                # (Og+1, 136)
+    rows = J2[cplan.pg]                                # (NCp, Bp, 136)
+    rows2 = rows.reshape(rows.shape[0], -1, 17)[..., :16]
+    G2 = jnp.einsum("nbi,nbj->nij", rows2, rows2)
+    blocks = jnp.stack(
+        [G2[:, :C, :C], G2[:, :C, C:], G2[:, C:, :C], G2[:, C:, C:]],
+        axis=1,
+    ).reshape(-1, C * C)
+    H_cc = (
+        jnp.zeros((K * K + 1, C * C), dtype)
+        .at[jnp.asarray(cplan.cc_rows4).reshape(-1)]
+        .add(blocks)[: K * K]
+        .reshape(K, K, C, C)
+    )
+
+    AB = outT[:, 145:179]                              # (Og+1, 34)
+    A0 = AB[:, :17]
+    A1 = AB[:, 17:]
+    pay_l = jnp.concatenate(
+        [A0[:, :C], A0[:, 16:17], A1[:, 16:17]], axis=1
+    )                                                  # (Og+1, C+2)
+    red_l = _chunk_sum(pay_l, cplan.lm, L)
+    anchor_v, H_pp, g_p = red_l[:, :C], red_l[:, C], red_l[:, C + 1]
+
+    g_c = (
+        _chunk_sum(A1[:, :C], cplan.gc_a, K)
+        + _chunk_sum(A1[:, C:2 * C], cplan.gc_t, K)
+    )
+
+    lm_mask = problem.lm_valid.astype(dtype)
+    inv0 = lm_mask / jnp.maximum(H_pp, cfg.min_inv_depth_hessian)
+    oh = jax.nn.one_hot(cplan.lm_cam, K, dtype=dtype)  # (NC_lm, B_lm, K)
+    vt = A0[:, C:2 * C]                                # (Og+1, C)
+    rows_t = vt[cplan.lm.gidx]                         # (NC_lm, B_lm, C)
+    part = jnp.einsum("nbk,nbc->nkc", oh, rows_t)      # (NC_lm, K, C)
+    M = (
+        jnp.zeros((L + 1, K * C), dtype)
+        .at[jnp.asarray(cplan.lm.rows)]
+        .add(part.reshape(part.shape[0], K * C))[:L]
+    )
+    oh_a = jax.nn.one_hot(cplan.anchor_cam_of_lm, K, dtype=dtype)
+    M = M + (oh_a[:, :, None] * anchor_v[:, None, :]).reshape(L, K * C)
+
+    Mw = M * inv0[:, None]
+    if cfg.skip_schur_gram:
+        S_corr0 = None
+    else:
+        prec = (jax.lax.Precision.HIGH
+                if cfg.schur_matmul_precision == "high"
+                else jax.lax.Precision.HIGHEST)
+        S_corr0 = jax.lax.dot(Mw.T, M, precision=prec)
+    rhs_corr0 = Mw.T @ g_p
+
+    H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C, K * C)
+    return cost, (H_cc_mat, S_corr0, rhs_corr0, H_pp, g_c, g_p, M, inv0)
+
+
 def solve_lam(neq, lam, free_cam_mask, cfg: ba.BAConfig):
     """Per-lambda dense solve + back-substitution (optim/fused.py)."""
     H_cc_mat, S_corr0, rhs_corr0, H_pp, g_c, g_p, M, inv0 = neq
@@ -757,9 +886,15 @@ def _cam_retract(cam, delta):
 
 def make_mega_solver(model: str, images_flat: jax.Array, H: int, W: int,
                      problem_slot: ba.BAProblem, n_images: int,
-                     plan_slot: DenseLmSchurPlan, *,
+                     plan_slot: DenseLmSchurPlan | None = None, *,
                      interpret: bool = False, pow2_buckets: bool = False):
-    """Megakernel photometric LM solver for a slot-major problem.
+    """Megakernel photometric LM solver.
+
+    With ``plan_slot`` (a DenseLmSchurPlan for a densify_problem-reordered
+    problem): slot-major dense assembly — fastest for near-uniform
+    observation counts (benchmarks, synthetic).  Without it: chunk-plan
+    assembly over valid observations only — the right layout for real,
+    heavy-tailed maps (``build_chunk_mega_plan``).
 
     Returns ``solve(problem, cfg) -> (problem, BAResult)`` with
     ``.build(problem, cfg)`` / ``.solve_lam(neq, lam, free, cfg)`` exposed
@@ -771,15 +906,22 @@ def make_mega_solver(model: str, images_flat: jax.Array, H: int, W: int,
 
     images3d = images_flat.reshape(-1, H, W)
     images_pad, HW = ps.pad_images(images3d)
-    plan, meta, idx_arrays = build_mega_plan(
-        problem_slot, plan_slot, n_images, pow2_buckets=pow2_buckets
-    )
+    if plan_slot is not None:
+        plan, meta, idx_arrays = build_mega_plan(
+            problem_slot, plan_slot, n_images, pow2_buckets=pow2_buckets
+        )
+        build_impl = build_mega
+    else:
+        plan, meta, idx_arrays = build_chunk_mega_plan(
+            problem_slot, n_images, pow2_buckets=pow2_buckets
+        )
+        build_impl = build_mega_chunk
     consts = make_mega_consts(model, problem_slot, meta, idx_arrays)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def _build(img, problem, consts, plan, cfg):
         with jax.default_matmul_precision("float32"):
-            return build_mega(model, img, problem, consts, plan, cfg,
+            return build_impl(model, img, problem, consts, plan, cfg,
                               HW=HW, interpret=interpret)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -794,7 +936,7 @@ def make_mega_solver(model: str, images_flat: jax.Array, H: int, W: int,
         and the next iteration's normal equations)."""
         with jax.default_matmul_precision("float32"):
             free = ~problem.fixed_cams
-            init_cost, neq0 = build_mega(
+            init_cost, neq0 = build_impl(
                 model, img, problem, consts, plan, cfg, HW=HW,
                 interpret=interpret,
             )
@@ -810,7 +952,7 @@ def make_mega_solver(model: str, images_flat: jax.Array, H: int, W: int,
                 prob, lam, cost, neq, rejects, iters, tries, done = state
                 dc, dp = solve_lam(neq, lam, free, cfg)
                 p_try = apply_step(prob, dc, dp)
-                cost_try, neq_try = build_mega(
+                cost_try, neq_try = build_impl(
                     model, img, p_try, consts, plan, cfg, HW=HW,
                     interpret=interpret,
                 )

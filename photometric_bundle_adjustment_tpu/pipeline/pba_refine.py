@@ -156,40 +156,25 @@ def refine_photometric(
 
         if jax.default_backend() == "tpu":
             cfg = cfg._replace(cost_from_build=True)
-            # The slot-major dense layout pads the observation axis to
-            # S x L with S = max observations per landmark.  Synthetic
-            # benches have uniform S ~ 5; REAL maps are heavy-tailed
-            # (EuRoC V1: max 96 obs on one landmark -> an 18x row blow-up
-            # that overflowed the sampler and wasted 95% of the assembly).
-            # Use dense only while the blow-up is modest; otherwise the
-            # image-sorted kernel path (chunk-plan assembly, ~1.3-1.7x
-            # per-image padding) is the right formulation.
-            lm = np.asarray(prob_l.obs.landmark)[
-                np.asarray(prob_l.obs.valid).astype(bool)]
-            L_l = prob_l.inv_depth.shape[0]
-            O_l = max(lm.shape[0], 1)
-            S_l = int(np.bincount(lm, minlength=L_l).max()) if O_l else 1
-            if S_l * L_l <= 3 * O_l:
-                # fastest TPU path: dense assembly + Pallas sampling +
-                # fused-cost LM loop (the separate accept/reject residual
-                # pass re-samples every patch; cost_from_build folds it
-                # into the build)
-                prob_l, plan = fused.densify_problem(prob_l)
-                solve = pba.make_kernel_dense_solver(
-                    model, flat_l, H_l, W_l, prob_l, imgs_l.shape[0]
-                )
-            else:
-                prob_l, iog, gcnt = pba.imagesort_problem(
-                    prob_l, imgs_l.shape[0]
-                )
-                plan = fused.plan_for_problem(prob_l)
-                solve = pba.make_kernel_fused_solver(
-                    model, flat_l, H_l, W_l, iog, gcnt
-                )
+            # Round-4 flagship path: the fused warp+sample+Jacobian+Schur
+            # megakernel (ops/pba_mega.py) with chunk-plan assembly — the
+            # kernel is laid out over VALID observations only (per-image
+            # GROUP padding, ~1.3-1.7x), so real heavy-tailed maps (EuRoC
+            # V1: one landmark with 96 obs -> an 18x slot blow-up under
+            # the dense S x L layout) pay no densification tax.  The
+            # fused-cost LM loop folds the accept/reject residual pass
+            # into the build.
+            from photometric_bundle_adjustment_tpu.ops import pba_mega
+
+            solve_mega = pba_mega.make_mega_solver(
+                model, flat_l, H_l, W_l, prob_l, imgs_l.shape[0],
+                pow2_buckets=True,
+            )
+            solved_l, res = solve_mega(prob_l, cfg)
         else:
             plan = fused.plan_for_problem(prob_l)
             solve = pba.make_fused_solver(model, flat_l, H_l, W_l)
-        solved_l, res = solve(prob_l, plan, cfg)
+            solved_l, res = solve(prob_l, plan, cfg)
         if level == 0:
             solved = solved_l
         # carry optimised state (poses/affine/depths) to the finer level

@@ -21,6 +21,7 @@ plain dicts — it is O(matches) pointer-chasing, not flops.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 import pickle
@@ -182,6 +183,9 @@ class SfmPipeline:
         self.max_cameras_to_add = 0
         self.image_projections: dict = {}
         self.timings: dict = {}
+        # wall spent in device dispatch+fetch blocks (see _dev); host
+        # bookkeeping = total wall - device_seconds
+        self.device_seconds = 0.0
         # device-kernel invocation counts (workload accounting for the
         # keyframes/s composite bench — bench.py build_keyframes_workload)
         self.counters: dict = {}
@@ -196,6 +200,18 @@ class SfmPipeline:
 
     def _count(self, name, n=1):
         self.counters[name] = self.counters.get(name, 0) + n
+
+    @contextlib.contextmanager
+    def _dev(self):
+        """Accumulate wall time of device dispatch+fetch blocks (incl. any
+        tunnel stalls) into ``device_seconds``: host bookkeeping is then
+        total wall minus this — the decomposition apps.sfm records for
+        bench.py's end-to-end wall estimate."""
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.device_seconds += time.time() - t0
 
     def landmark_positions(self, tids: list) -> np.ndarray:
         """Batched Landmark::get_p (common_types.h:205-217); bucketed so the
@@ -215,14 +231,16 @@ class SfmPipeline:
         M = _bucket(N, 256)
         self._count("lmpos_calls")
         self._count(f"lmpos_rows_{M}")
-        p_w = _lm_positions_kernel(
-            self.model,
-            jnp.asarray(_pad_rows(uv, M)),
-            jnp.asarray(_pad_rows(intr, M)),
-            jnp.asarray(_pad_rows(T, M)),
-            jnp.asarray(_pad_rows(rho[:, None], M)[:, 0]),
-        )
-        return np.asarray(p_w)[:N]
+        with self._dev():
+            p_w = _lm_positions_kernel(
+                self.model,
+                jnp.asarray(_pad_rows(uv, M)),
+                jnp.asarray(_pad_rows(intr, M)),
+                jnp.asarray(_pad_rows(T, M)),
+                jnp.asarray(_pad_rows(rho[:, None], M)[:, 0]),
+            )
+            out = np.asarray(p_w)
+        return out[:N]
 
     # ------------------------------------------------------------ stage 1-2
 
@@ -247,13 +265,14 @@ class SfmPipeline:
             stack[i] = self.images[f]
         self._count("detect_batches", Np // batch)
         self._count("detect_dispatches")
-        uv, valid, angles, desc = jax.tree_util.tree_map(
-            np.asarray,
-            describe.detect_and_describe_all(
-                jnp.asarray(stack), batch=batch, num_features=F,
-                rotate_features=self.cfg.rotate_features,
-            ),
-        )
+        with self._dev():
+            uv, valid, angles, desc = jax.tree_util.tree_map(
+                np.asarray,
+                describe.detect_and_describe_all(
+                    jnp.asarray(stack), batch=batch, num_features=F,
+                    rotate_features=self.cfg.rotate_features,
+                ),
+            )
         for i, fcid in enumerate(self.fcids):
             self.corners[fcid] = {
                 "uv": uv[i], "valid": valid[i],
@@ -344,9 +363,10 @@ class SfmPipeline:
             pad = C - len(chunk)
             i1 = np.array([a for a, _, _ in chunk] + [0] * pad, np.int32)
             i2 = np.array([b for _, b, _ in chunk] + [1] * pad, np.int32)
-            pairs, count, inl = jax.tree_util.tree_map(
-                np.asarray, chunk_fn(jnp.asarray(i1), jnp.asarray(i2))
-            )
+            with self._dev():
+                pairs, count, inl = jax.tree_util.tree_map(
+                    np.asarray, chunk_fn(jnp.asarray(i1), jnp.asarray(i2))
+                )
             for ci, (_, _, fid) in enumerate(chunk):
                 n = int(count[ci])
                 all_pairs = pairs[ci][:n].astype(np.int32)
@@ -429,13 +449,15 @@ class SfmPipeline:
                         [x[s:e], np.full((pad,) + x.shape[1:], fill, x.dtype)]
                     ))
 
-                T, inl, n_inl = rchunk(
-                    jnp.asarray(i1), jnp.asarray(i2), padi(pairs_all),
-                    padi(pvalid_all), padi(count_all), self._next_key(),
-                )
+                with self._dev():
+                    T, inl, n_inl = rchunk(
+                        jnp.asarray(i1), jnp.asarray(i2), padi(pairs_all),
+                        padi(pvalid_all), padi(count_all), self._next_key(),
+                    )
+                    T, inl, n_inl = (np.asarray(T), np.asarray(inl),
+                                     np.asarray(n_inl))
                 return (np.asarray(pairs_all[s:e]),
-                        np.asarray(count_all[s:e]),
-                        np.asarray(T), np.asarray(inl), np.asarray(n_inl))
+                        np.asarray(count_all[s:e]), T, inl, n_inl)
         else:
             chunk_fn = pair_matching.make_pair_matcher(
                 desc, valid, bear,
@@ -460,11 +482,14 @@ class SfmPipeline:
                     i1, i2, s, s + len(chunk), pad
                 )
             else:
-                pairs, pvalid, count, T, inl, n_inl = jax.tree_util.tree_map(
-                    np.asarray,
-                    chunk_fn(jnp.asarray(i1), jnp.asarray(i2),
-                             self._next_key()),
-                )
+                with self._dev():
+                    pairs, pvalid, count, T, inl, n_inl = (
+                        jax.tree_util.tree_map(
+                            np.asarray,
+                            chunk_fn(jnp.asarray(i1), jnp.asarray(i2),
+                                     self._next_key()),
+                        )
+                    )
             for ci, (a, b) in enumerate(chunk):
                 n = int(count[ci])
                 all_pairs = pairs[ci][: n].astype(np.int32)
@@ -572,14 +597,17 @@ class SfmPipeline:
         # parallax gate: rays must subtend a minimum angle at the point,
         # else the midpoint depth is unconstrained (see config note)
         min_cos = float(np.cos(np.deg2rad(self.cfg.min_triangulation_angle_deg)))
-        inv_depth, ok = _triangulate_rows_kernel(
-            self.model,
-            jnp.asarray(_pad_rows(uv0, M)), jnp.asarray(_pad_rows(uv1, M)),
-            jnp.asarray(_pad_rows(intr0, M)), jnp.asarray(_pad_rows(intr1, M)),
-            jnp.asarray(_pad_rows(T0, M)), jnp.asarray(_pad_rows(T1, M)),
-            min_cos,
-        )
-        return np.asarray(inv_depth)[:N], np.asarray(ok)[:N]
+        with self._dev():
+            inv_depth, ok = _triangulate_rows_kernel(
+                self.model,
+                jnp.asarray(_pad_rows(uv0, M)), jnp.asarray(_pad_rows(uv1, M)),
+                jnp.asarray(_pad_rows(intr0, M)),
+                jnp.asarray(_pad_rows(intr1, M)),
+                jnp.asarray(_pad_rows(T0, M)), jnp.asarray(_pad_rows(T1, M)),
+                min_cos,
+            )
+            inv_depth, ok = np.asarray(inv_depth), np.asarray(ok)
+        return inv_depth[:N], ok[:N]
 
     def _add_triangulated(self, rows, inv_depth, ok) -> int:
         """First-passing-row-wins landmark insertion (pair order = the
@@ -690,17 +718,19 @@ class SfmPipeline:
         self._count("localize_calls")
         self._count(f"localize_rows_{M}")
         intr = np.asarray(self.calib.intrinsics)[fcid[1]]
-        T_w_c, inl = _localize_kernel(
-            self.model,
-            jnp.asarray(_pad_rows(uv, M)),
-            jnp.asarray(intr),
-            jnp.asarray(_pad_rows(points, M)),
-            jnp.asarray(np.arange(M) < N),
-            self._next_key(),
-            float(self.cfg.reprojection_error_pnp_inlier_threshold_pixel),
-            int(self.cfg.pnp_hypotheses),
-        )
-        inl = np.asarray(inl)[:N]
+        with self._dev():
+            T_w_c, inl = _localize_kernel(
+                self.model,
+                jnp.asarray(_pad_rows(uv, M)),
+                jnp.asarray(intr),
+                jnp.asarray(_pad_rows(points, M)),
+                jnp.asarray(np.arange(M) < N),
+                self._next_key(),
+                float(self.cfg.reprojection_error_pnp_inlier_threshold_pixel),
+                int(self.cfg.pnp_hypotheses),
+            )
+            inl = np.asarray(inl)
+        inl = inl[:N]
         inlier_tids = [t for t, ok in zip(shared_track_ids, inl) if ok]
         return np.asarray(T_w_c), inlier_tids
 
@@ -927,9 +957,12 @@ class SfmPipeline:
             max_iterations=20,
             huber_delta=self.cfg.reprojection_error_huber_pixel,
         )
-        solved, res = geometric_ba.bundle_adjustment(problem, self.model, cfg)
-        poses = np.asarray(solved.cam_states)
-        rho = np.asarray(solved.inv_depth)
+        with self._dev():
+            solved, res = geometric_ba.bundle_adjustment(
+                problem, self.model, cfg
+            )
+            poses = np.asarray(solved.cam_states)
+            rho = np.asarray(solved.inv_depth)
         for i, f in enumerate(cam_list):
             self.cameras[f] = poses[i]
         for i, t in enumerate(lm_list):
@@ -941,11 +974,12 @@ class SfmPipeline:
             # ref-frame intrinsics held constant), then re-polish poses
             self._refine_intrinsics()
             problem, cam_list, lm_list = self._build_ba_problem()
-            solved, res2 = geometric_ba.bundle_adjustment(
-                problem, self.model, cfg
-            )
-            poses = np.asarray(solved.cam_states)
-            rho = np.asarray(solved.inv_depth)
+            with self._dev():
+                solved, res2 = geometric_ba.bundle_adjustment(
+                    problem, self.model, cfg
+                )
+                poses = np.asarray(solved.cam_states)
+                rho = np.asarray(solved.inv_depth)
             for i, f in enumerate(cam_list):
                 self.cameras[f] = poses[i]
             for i, t in enumerate(lm_list):
@@ -1047,16 +1081,17 @@ class SfmPipeline:
         M = _bucket(N, 256)
         self._count("project_calls")
         self._count(f"project_rows_{M}")
-        uv_proj, err, dist, zc = jax.tree_util.tree_map(
-            np.asarray,
-            _project_rows_kernel(
-                self.model,
-                jnp.asarray(_pad_rows(uv_meas, M)),
-                jnp.asarray(_pad_rows(intr, M)),
-                jnp.asarray(_pad_rows(T, M)),
-                jnp.asarray(_pad_rows(p_w, M)),
-            ),
-        )
+        with self._dev():
+            uv_proj, err, dist, zc = jax.tree_util.tree_map(
+                np.asarray,
+                _project_rows_kernel(
+                    self.model,
+                    jnp.asarray(_pad_rows(uv_meas, M)),
+                    jnp.asarray(_pad_rows(intr, M)),
+                    jnp.asarray(_pad_rows(T, M)),
+                    jnp.asarray(_pad_rows(p_w, M)),
+                ),
+            )
         uv_proj, err, dist, zc = uv_proj[:N], err[:N], dist[:N], zc[:N]
 
         cfg = self.cfg

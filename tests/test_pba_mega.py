@@ -140,6 +140,71 @@ def test_mega_build_matches_gather_build_ds():
         np.testing.assert_allclose(a, b, atol=3e-3 * scale, rtol=2e-3)
 
 
+def test_mega_chunk_build_matches_gather_build():
+    """Chunk-plan assembly (the real-map layout: valid observations only,
+    no slot densification) must match the gather-sampler chunk build."""
+    model = "pinhole"
+    problem, images_flat, H, W = _small_problem(seed=2)
+    cfg = ba.BAConfig(max_iterations=1, huber_delta=9.0,
+                      schur_matmul_precision="highest")
+    n_images = problem.cam_states.pose.shape[0]
+
+    gather = pba.make_fused_solver(model, images_flat, H, W)
+    plan = fused.plan_for_problem(problem, host=False, pow2_buckets=False)
+    with jax.default_matmul_precision("float32"):
+        ref_cost, ref_neq = gather.build(problem, plan, cfg)
+
+    mega = pba_mega.make_mega_solver(
+        model, images_flat, H, W, problem, n_images, interpret=True
+    )
+    cost, neq = mega.build(problem, cfg)
+
+    np.testing.assert_allclose(float(cost), float(ref_cost), rtol=2e-4)
+    names = ["H_cc", "S_corr0", "rhs_corr0", "H_pp", "g_c", "g_p", "M",
+             "inv0"]
+    for name, a, b in zip(names, neq, ref_neq):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(
+            a, b, atol=3e-3 * scale, rtol=2e-3,
+            err_msg=f"chunk neq piece {name} diverges from the gather build",
+        )
+
+
+def test_mega_chunk_solve_matches_dense_mega():
+    """The two mega assemblies (dense slot-major vs chunked group-order)
+    must produce the same LM trajectory on the same problem."""
+    model = "pinhole"
+    problem, images_flat, H, W = _small_problem(seed=3)
+    cfg = ba.BAConfig(max_iterations=3, huber_delta=9.0,
+                      schur_matmul_precision="highest", cost_from_build=True)
+    n_images = problem.cam_states.pose.shape[0]
+
+    problem_d, plan_d = fused.densify_problem(problem, pow2_buckets=False)
+    mega_d = pba_mega.make_mega_solver(
+        model, images_flat, H, W, problem_d, n_images, plan_d,
+        interpret=True,
+    )
+    prob_d, res_d = mega_d(problem_d, cfg)
+
+    mega_c = pba_mega.make_mega_solver(
+        model, images_flat, H, W, problem, n_images, interpret=True
+    )
+    prob_c, res_c = mega_c(problem, cfg)
+
+    np.testing.assert_allclose(
+        float(res_c.initial_cost), float(res_d.initial_cost), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(res_c.cost), float(res_d.cost), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(prob_c.cam_states.pose),
+        np.asarray(prob_d.cam_states.pose), atol=1e-4,
+    )
+
+
 def test_mega_solve_reduces_cost_like_gather():
     model = "pinhole"
     problem, images_flat, H, W = _small_problem(seed=1)
