@@ -29,6 +29,11 @@ def main(argv=None):
              "deterministically to recover the anchor patches)",
     )
     parser.add_argument("--pba-iterations", type=int, default=20)
+    parser.add_argument(
+        "--sample-bf16", action="store_true",
+        help="opt-in bf16 patch sampling in the TPU megakernel (uint8 "
+             "intensities exact; bilinear taps <=2^-8; ATE-validated)",
+    )
     parser.add_argument("--huber-intensity", type=float, default=9.0)
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     args = parser.parse_args(argv)
@@ -88,6 +93,7 @@ def main(argv=None):
     res = pba_refine.refine_photometric(
         pipe, max_iterations=args.pba_iterations,
         huber_delta=args.huber_intensity,
+        sample_bf16=args.sample_bf16,
     )
 
     with open(args.map_out, "wb") as f:

@@ -23,16 +23,24 @@ residual+Jacobian evaluation runs in GROUP ORDER end-to-end:
     (rows, O) with the observation axis in lanes — no (P, 2, 3)/(P, 3, 13)
     tile-padded intermediates, which is what fragmented round 3.
 
-  phase 2 (Pallas): per 128-observation group (observations pre-sorted by
-    target image; the image is VMEM-staged once per image via a
-    scalar-prefetch-driven BlockSpec), the 128 unrolled sampler bodies
-    resolve all 8 patch pixels x {value, d/dx, d/dy} as ONE stacked
-    (3P, TILE_H) x (TILE_H, TILE_W) MXU contraction + one reduction dot
-    per observation; then slab-wide epilogue math forms the residual,
+  phase 2 (Pallas): per 256-observation group (observations pre-sorted by
+    target image; images are staged HBM->VMEM by an in-kernel
+    double-buffered manual DMA pipeline — ONE fetch per image, prefetched
+    under the previous image's compute, because a scalar-prefetch-indexed
+    BlockSpec re-issues its DMA every grid step), each unrolled sampler
+    body runs ONE MXU dot (the y-tap contraction TY = wy_t @ tile) into
+    the ty3 scratch; the x-taps, value/gradient combine and lane
+    reductions run BATCHED over the whole group after the loop (v1's
+    three per-body (P, XW) x (XW, 1) dots wasted 15/16 of every 128-row
+    MXU pass).  The slab epilogue then forms the residual,
     affine-brightness partials, Huber weights, the sqrt-weighted Jacobian
     rows, the robust cost, AND the per-observation Schur payloads
-    A0 = J^T J_rho-col and A1 = J^T r — so the downstream dense assembly
-    (optim/fused.py build_dense semantics) needs no J-column passes at all.
+    A0 = J^T J_rho-col and A1 = J^T r — so the downstream assembly
+    (dense slot-major or chunk-plan) needs no J-column passes at all.
+    Window-relative tap coordinates are rebuilt ON-CHIP from the pixel
+    planes (shipping them transposed cost ~1.5 ms/build in relayouts).
+    ``sample_bf16`` runs the body dot in bf16 (uint8 intensities exact,
+    y-taps <=2^-8 relative, f32 accumulation) for a ~1 ms/build cut.
 
 Output packing (one (184, Og) f32 array; rows):
   [0:104)    J_geo * sw, k-major (row k*P + p), k = [t_a(3) phi_a(3)
@@ -120,6 +128,9 @@ class MegaConsts(NamedTuple):
     timg: jax.Array     # (Og,) int32 target image (sampling source)
     iog: jax.Array      # (ng,) int32 image of group
     cnt: jax.Array      # (ng,) int32 valid observations per group
+    ictl: jax.Array     # (ng,) int32 image-staging control: buf | first<<1
+    #                     | has_next<<2 (kernel double-buffer pipeline)
+    inxt: jax.Array     # (ng,) int32 next distinct image to prefetch
 
 
 class MegaPlan(NamedTuple):
@@ -264,6 +275,32 @@ def make_mega_consts(model: str, problem_slot: ba.BAProblem, meta,
     )                                                          # (Og, P, 3)
     d3 = np.transpose(dirs, (2, 1, 0)).reshape(3 * P, -1)      # row j*P+p
 
+    # image-staging pipeline control (kernel double buffer): per group,
+    # which half-buffer holds its image, whether it starts a new image,
+    # and which image to prefetch into the other half at that point.
+    # Each _SEG_GROUPS segment is its own pallas_call, so the pipeline
+    # restarts there: parity resets, a segment-crossing run re-fetches,
+    # and prefetches never target an image of the NEXT segment (a started
+    # DMA must be waited within its own kernel instance).
+    iog_np = np.asarray(iog)
+    ng = iog_np.shape[0]
+    seg_first = (np.arange(ng) % _SEG_GROUPS) == 0
+    firsts = np.r_[True, iog_np[1:] != iog_np[:-1]] | seg_first
+    cf = np.cumsum(firsts.astype(np.int64))             # firsts incl. self
+    seg_id = np.arange(ng) // _SEG_GROUPS
+    buf = ((cf - cf[seg_id * _SEG_GROUPS]) % 2).astype(np.int32)
+    fidx = np.flatnonzero(firsts)
+    run_img = iog_np[fidx]                              # (n_runs,)
+    run_seg = seg_id[fidx]
+    nxt_run = np.r_[run_img[1:], -1]
+    nxt_same_seg = np.r_[run_seg[1:] == run_seg[:-1], False]
+    run_of_g = cf - 1
+    nxt = nxt_run[run_of_g]
+    has = nxt_same_seg[run_of_g] & (nxt >= 0)
+    ictl = (buf | (firsts.astype(np.int32) << 1)
+            | (has.astype(np.int32) << 2))
+    inxt = np.where(has, nxt, 0).astype(np.int32)
+
     return MegaConsts(
         d3=jnp.asarray(d3, dtype),
         intr_t=jnp.asarray(intr_t.T, dtype),
@@ -274,6 +311,8 @@ def make_mega_consts(model: str, problem_slot: ba.BAProblem, meta,
         timg=jnp.asarray(timg_g),
         iog=jnp.asarray(iog),
         cnt=jnp.asarray(cnt),
+        ictl=jnp.asarray(ictl),
+        inxt=jnp.asarray(inxt),
     )
 
 
@@ -357,38 +396,36 @@ def warp_slabs(model: str, cam_states, inv_depth, consts: MegaConsts):
 
 
 def _tile_prologue(ux, uy, H, W, Hp):
-    """Tile-start codes + window-relative stacked-tap coordinates (XLA).
+    """Tile-start codes + window-start rows (XLA).
 
-    The code packs (y0/8, x0/128, xoff): the kernel slices the 128-aligned
-    (TILE_H, TILE_W) tile, lane-rotates it by ``xoff`` (Mosaic supports
-    dynamic rotates; dynamic unaligned slices it does not), and samples in
-    the first XW lanes.  xoff <= 127 < TILE_W - XW, so the rotated window
-    never wraps."""
+    The code packs (y0/8, x0/128) for the kernel's 128-aligned
+    (TILE_H, TILE_W) image slice; ``wsy`` carries the same starts as a
+    float (2, Og) row so the kernel can rebuild window-relative tap
+    coordinates ON-CHIP.  Round 3 computed rx/ry/mask slabs here and
+    shipped them transposed into the kernel — the (8, Og) -> (Og, 8)
+    sublane->lane relayouts alone cost ~1.5 ms/build; v2 ships only the
+    native-layout pixel planes and does the rest in the kernel."""
     dtype = ux.dtype
     xc = jnp.clip(ux, 0.0, W - 1.001)
     yc = jnp.clip(uy, 0.0, H - 1.001)
+    # keepdims: every op below stays (1, Og) 2-D — 1-D (Og,) int vectors
+    # relayout on EVERY op on TPU (measured ~1.8 ms for this block in the
+    # 1-D formulation vs ~0.1 ms here); one final reshape for the SMEM
+    # prefetch operand
     xs = jnp.maximum(
-        jnp.floor(jnp.min(xc, axis=0)).astype(jnp.int32) - 1, 0
-    )
+        jnp.floor(jnp.min(xc, axis=0, keepdims=True)).astype(jnp.int32) - 1,
+        0,
+    )                                                   # (1, Og)
     x0 = xs // 128 * 128
-    xoff = xs - x0                                          # [0, 127]
     y0 = jnp.clip(
-        jnp.floor(jnp.min(yc, axis=0)).astype(jnp.int32) - 1, 0, Hp - TILE_H
+        jnp.floor(jnp.min(yc, axis=0, keepdims=True)).astype(jnp.int32) - 1,
+        0, Hp - TILE_H,
     ) // 8 * 8
-    code = (y0 // 8) * 16384 + (x0 // 128) * 128 + xoff
-    ws = xs if XW < TILE_W else x0      # window start the kernel samples in
-    rx = jnp.clip(xc - ws.astype(dtype)[None, :], 0.0, XW - 1.001)
-    ry = jnp.clip(yc - y0.astype(dtype)[None, :], 0.0, TILE_H - 1.001)
-    # gradient validity is applied as an epilogue mask (NOT the -2 tap
-    # coding of ops/patch_sample.py): the derivative tap masks then share
-    # the value taps' column indices, halving the in-kernel weight build
-    in_x = (ux >= 0.0) & (ux <= W - 1.001) & (
-        xc - ws.astype(dtype)[None, :] <= XW - 1.001
-    )
-    in_y = (uy >= 0.0) & (uy <= H - 1.001) & (
-        yc - y0.astype(dtype)[None, :] <= TILE_H - 1.001
-    )
-    return code, rx, ry, in_x, in_y
+    code = ((y0 // 8) * 16384 + (x0 // 128) * 128).reshape(-1)
+    wsy = jnp.concatenate(
+        [x0.astype(dtype), y0.astype(dtype)], axis=0
+    )                                                   # (2, Og)
+    return code, wsy
 
 
 # ---------------------------------------------------------------------------
@@ -396,101 +433,171 @@ def _tile_prologue(ux, uy, H, W, Hp):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(huber_delta: float, mode: str = "full"):
+def _make_kernel(huber_delta: float, H: int, W: int, mode: str = "full",
+                 sample_dtype=jnp.float32):
     """``mode`` is a profiling aid: "full" (production), "loop_only"
-    (sampler loop + raw acc out, no combine), "weights_only" (weight
-    construction + combine on zero samples, no loop)."""
+    (sampler loop + raw tile sums out, no combine), "weights_only"
+    (weight construction + combine on stale samples, no loop).
+
+    v2 body structure (one MXU dot per observation): each unrolled body
+    computes ONLY the y-contraction TY = wy_t (2P, TILE_H) @ tile and
+    stores it to the ty3 scratch; the x-taps, the value/gradient combine,
+    and the lane reduction run BATCHED over the whole group after the
+    loop (3 elementwise muls + 3 lane-sums on (P, GROUP, XW)), replacing
+    round 3's three per-body (P, XW) x (XW, 1) MXU dots whose M=8 wasted
+    15/16 of every 128-row MXU pass.  ``sample_dtype=bfloat16`` runs the
+    per-body dot in bf16 (uint8 image intensities are EXACT in bf16; the
+    bilinear y-taps lose <=2^-8 relative) — one MXU pass instead of the
+    3-pass f32 emulation; accumulation stays f32."""
     Q = 2 * P
     R3 = 3 * P
 
-    def kernel(iog_ref, cnt_ref, code_ref, rx2_ref, ry2_ref, ga_ref, gb_ref,
-               refp_ref, aff_ref, fin_ref, img_ref, out_ref,
-               acc_v, acc_gx, acc_gy, wxd3, wyd3):
+    def kernel(iog_ref, cnt_ref, code_ref, ictl_ref, inxt_ref,
+               ux_ref, uy_ref, wsy_ref,
+               ga_ref, gb_ref, refp_ref, aff_ref, img_ref, out_ref,
+               ty3, wy23, imgbuf, imgsem0, imgsem1):
         g = pl.program_id(0)
         base = g * GROUP
         cnt = cnt_ref[g]
+        Hi = img_ref.shape[1]
+
+        # manual double-buffered image staging: groups are image-sorted,
+        # so the image changes only at run boundaries.  A BlockSpec with a
+        # prefetch-scalar index map re-issues its DMA EVERY step even for
+        # a repeated index (measured 0.93 ms/build for 160 constant-index
+        # (1, Hp, Wp) steps), and a blocking fetch stalls the loop at
+        # every boundary — so: at each image's first group, WAIT on this
+        # image's half-buffer (its copy was started one image ago) and
+        # START the next image's copy into the other half, which overlaps
+        # with this image's sampling compute.
+        ctl = ictl_ref[g]
+        buf = ctl & 1
+        first = (ctl & 2) != 0
+        has_nxt = (ctl & 4) != 0
+
+        @pl.when(g == 0)
+        def _():
+            pltpu.make_async_copy(
+                img_ref.at[iog_ref[0]], imgbuf.at[pl.ds(0, Hi)], imgsem0
+            ).start()
+
+        @pl.when(first & (buf == 0))
+        def _():
+            pltpu.make_async_copy(
+                img_ref.at[iog_ref[g]], imgbuf.at[pl.ds(0, Hi)], imgsem0
+            ).wait()
+
+        @pl.when(first & (buf == 1))
+        def _():
+            pltpu.make_async_copy(
+                img_ref.at[iog_ref[g]], imgbuf.at[pl.ds(Hi, Hi)], imgsem1
+            ).wait()
+
+        @pl.when(first & has_nxt & (buf == 0))
+        def _():
+            pltpu.make_async_copy(
+                img_ref.at[inxt_ref[g]], imgbuf.at[pl.ds(Hi, Hi)], imgsem1
+            ).start()
+
+        @pl.when(first & has_nxt & (buf == 1))
+        def _():
+            pltpu.make_async_copy(
+                img_ref.at[inxt_ref[g]], imgbuf.at[pl.ds(0, Hi)], imgsem0
+            ).start()
 
         if mode == "empty":
             out_ref[...] = jnp.zeros((OUT_ROWS, GROUP), jnp.float32)
             return
 
-        rxT = rx2_ref[:]                       # (GROUP, P) pre-transposed
-        ryT = ry2_ref[:]
-        dtype = rxT.dtype
+        ux = ux_ref[:]                         # (P, GROUP) pixel planes
+        uy = uy_ref[:]
+        ws = wsy_ref[0:1, :]                   # (1, GROUP) window starts
+        y0f = wsy_ref[1:2, :]
+        dtype = ux.dtype
 
-        # stacked-tap weights: rows 0..P-1 of each scratch carry the
-        # bilinear value taps (1-f, f), rows P..2P-1 the derivative taps
-        # (-1, +1).  Both halves share the VALUE coordinates' one-hot
-        # columns (is0/is1) — gradient invalidation happens in the slab
-        # epilogue via the inx/iny masks, not in the taps — so only P rows
-        # of compares are built per axis (half of the -2-coding scheme).
-        cxT = jnp.floor(rxT)
-        cyT = jnp.floor(ryT)
-        fxT = rxT - cxT
-        fyT = ryT - cyT
-        cxiT = cxT.astype(jnp.int32)
-        cyiT = cyT.astype(jnp.int32)
+        # window-relative tap coordinates, on-chip (v1 shipped these as
+        # (Og, 8) transposed inputs; the relayouts cost ~1.5 ms/build)
+        xc = jnp.clip(ux, 0.0, W - 1.001)
+        yc = jnp.clip(uy, 0.0, H - 1.001)
+        rx = jnp.clip(xc - ws, 0.0, XW - 1.001)
+        ry = jnp.clip(yc - y0f, 0.0, TILE_H - 1.001)
 
-        colsP = jax.lax.broadcasted_iota(jnp.int32, (GROUP, P, XW), 2)
-        rowsP = jax.lax.broadcasted_iota(jnp.int32, (GROUP, P, TILE_H), 2)
-        isx0 = (colsP == cxiT[:, :, None]).astype(dtype)
-        isx1 = (colsP == cxiT[:, :, None] + 1).astype(dtype)
-        wxd3[:, 0:P, :] = isx0 * (1.0 - fxT[:, :, None]) \
-            + isx1 * fxT[:, :, None]
-        wxd3[:, P:Q, :] = isx1 - isx0
-        isy0 = (rowsP == cyiT[:, :, None]).astype(dtype)
-        isy1 = (rowsP == cyiT[:, :, None] + 1).astype(dtype)
-        wyd3[:, 0:P, :] = isy0 * (1.0 - fyT[:, :, None]) \
-            + isy1 * fyT[:, :, None]
-        wyd3[:, P:Q, :] = isy1 - isy0
+        # stacked-tap weights: value taps (1-f, f) and derivative taps
+        # (-1, +1) share the VALUE coordinates' one-hot columns — gradient
+        # invalidation happens in the slab epilogue via inx/iny masks, so
+        # only P rows of compares are built per axis.  Only the y-taps are
+        # staged to scratch (the loop's dot reads them per body); the
+        # x-taps are values of the POST-loop combine, so they live as
+        # compiler-managed temporaries, not scratch (scoped-vmem budget).
+        cx = jnp.floor(rx)
+        cy = jnp.floor(ry)
+        fx = rx - cx
+        fy = ry - cy
+        cxi = cx.astype(jnp.int32)
+        cyi = cy.astype(jnp.int32)
 
-        ones_w = jnp.ones((1, XW), jnp.float32)
-        dn = (((1,), (1,)), ((), ()))
+        ioy = jax.lax.broadcasted_iota(jnp.int32, (P, GROUP, TILE_H), 2)
+        isy0 = (ioy == cyi[:, :, None]).astype(dtype)
+        isy1 = (ioy == cyi[:, :, None] + 1).astype(dtype)
+        wy23[0:P] = (
+            isy0 * (1.0 - fy[:, :, None]) + isy1 * fy[:, :, None]
+        ).astype(sample_dtype)
+        wy23[P:Q] = (isy1 - isy0).astype(sample_dtype)
 
         if mode != "weights_only":
             for t in range(GROUP):
                 @pl.when(t < cnt)
                 def _(t=t):
                     code = code_ref[base + t]
-                    y0 = pl.multiple_of((code >> 14) * 8, 8)
+                    # buf folds into the row offset: imgbuf is (2*Hi, Wp)
+                    y0 = pl.multiple_of(
+                        (code >> 14) * 8 + buf * Hi, 8
+                    )
                     x0 = pl.multiple_of(((code >> 7) & 0x7F) * 128, 128)
-                    tile = img_ref[0, pl.ds(y0, TILE_H), pl.ds(x0, TILE_W)]
-                    if XW < TILE_W:
-                        xoff = code & 0x7F
-                        tw = pltpu.roll(tile, -xoff, 1)[:, :XW]
-                    else:
-                        tw = tile
-                    wxd = wxd3[t]
-                    TY = jnp.dot(wyd3[t], tw,
-                                 preferred_element_type=jnp.float32)
-                    acc_v[:, t: t + 1] = jax.lax.dot_general(
-                        TY[0:P, :] * wxd[0:P, :], ones_w, dn,
-                        preferred_element_type=jnp.float32)
-                    acc_gx[:, t: t + 1] = jax.lax.dot_general(
-                        TY[0:P, :] * wxd[P:, :], ones_w, dn,
-                        preferred_element_type=jnp.float32)
-                    acc_gy[:, t: t + 1] = jax.lax.dot_general(
-                        TY[P:, :] * wxd[0:P, :], ones_w, dn,
-                        preferred_element_type=jnp.float32)
+                    tile = imgbuf[pl.ds(y0, TILE_H), pl.ds(x0, TILE_W)]
+                    # bf16 inputs must carry DEFAULT precision: an ambient
+                    # default_matmul_precision("float32") would stamp the
+                    # op contract_precision<fp32>, which Mosaic rejects
+                    # for non-f32 operands ("Bad lhs type")
+                    ty3[:, t, :] = jnp.dot(
+                        wy23[:, t, :], tile.astype(sample_dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=(jax.lax.Precision.DEFAULT
+                                   if sample_dtype != jnp.float32 else None),
+                    )
 
         if mode == "loop_only":
-            out_ref[0:P, :] = acc_v[:]
-            out_ref[P:2 * P, :] = acc_gx[:]
-            out_ref[2 * P:R3, :] = acc_gy[:]
-            out_ref[R3:OUT_ROWS, :] = jnp.zeros(
-                (OUT_ROWS - R3, GROUP), jnp.float32
+            out_ref[0:P, :] = jnp.sum(ty3[0:P], axis=-1)
+            out_ref[P:2 * P, :] = jnp.sum(ty3[P:Q], axis=-1)
+            out_ref[2 * P:OUT_ROWS, :] = jnp.zeros(
+                (OUT_ROWS - 2 * P, GROUP), jnp.float32
             )
             return
 
+        # ---- batched x-combine: muls + lane reductions, chunked per patch
+        # row so the peak temp is (1, GROUP, XW) = 256 KB instead of three
+        # (P, GROUP, XW) = 2 MB slabs — the smaller stack lets Mosaic keep
+        # the image block double-buffered (scoped-vmem limit 16 MB)
+        iox1 = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP, XW), 2)
+        vals, gxs, gys = [], [], []
+        for p in range(P):
+            i0 = (iox1 == cxi[p:p + 1][:, :, None]).astype(dtype)
+            i1 = (iox1 == cxi[p:p + 1][:, :, None] + 1).astype(dtype)
+            wv = (i0 * (1.0 - fx[p:p + 1][:, :, None])
+                  + i1 * fx[p:p + 1][:, :, None])
+            vals.append(jnp.sum(ty3[p:p + 1] * wv, axis=-1))
+            gxs.append(jnp.sum(ty3[p:p + 1] * (i1 - i0), axis=-1))
+            gys.append(jnp.sum(ty3[P + p:P + p + 1] * wv, axis=-1))
+        val = jnp.concatenate(vals, axis=0)                  # (P, GROUP)
+        gx = jnp.concatenate(gxs, axis=0)
+        gy = jnp.concatenate(gys, axis=0)
+
         # ---- slab epilogue: residual, Huber, Jacobian rows, payloads ----
-        val = acc_v[:]
-        gx = acc_gx[:]
-        gy = acc_gy[:]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
         slot_ok = lanes < cnt                                # (1, GROUP)
-        fin = fin_ref[0:P, :] != 0                           # (P, GROUP)
-        inx = fin_ref[P:2 * P, :] != 0
-        iny = fin_ref[2 * P:3 * P, :] != 0
+        fin = ux > -1e5                                      # (P, GROUP)
+        inx = (ux >= 0.0) & (ux <= W - 1.001) & (xc - ws <= XW - 1.001)
+        iny = (uy >= 0.0) & (uy <= H - 1.001) & (yc - y0f <= TILE_H - 1.001)
 
         aff = aff_ref[:]                                     # (4, GROUP)
         e = jnp.exp(aff[2:3, :] - aff[0:1, :])               # (1, GROUP)
@@ -558,88 +665,96 @@ def _make_kernel(huber_delta: float, mode: str = "full"):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("HW", "huber_delta", "interpret", "mode")
+    jax.jit,
+    static_argnames=("HW", "huber_delta", "interpret", "mode", "bf16"),
 )
-def mega_rj(images3d, ux, uy, fin, GA, GB, refp, aff, iog, cnt,
+def mega_rj(images3d, ux, uy, GA, GB, refp, aff, iog, cnt, ictl, inxt,
             HW, huber_delta: float, interpret: bool = False,
-            mode: str = "full"):
+            mode: str = "full", bf16: bool = False):
     """Run the megakernel: (184, Og) payload array (see module docstring).
 
     ``images3d`` must be pad_images-padded; ``aff`` is the (4, Og) affine
-    slab [a_r, b_r, a_t, b_t]; all other inputs are phase-1 outputs /
-    MegaConsts slabs.
+    slab [a_r, b_r, a_t, b_t]; ``ux``/``uy`` are the (P, Og) projected
+    pixel planes from ``warp_slabs`` (non-finite projections encoded as
+    -1e6).  ``bf16=True`` samples in bfloat16 (one MXU pass per body
+    instead of the 3-pass f32 emulation; uint8 intensities are exact in
+    bf16, bilinear y-taps lose <=2^-8 relative; f32 accumulation).
     """
     H, W = HW
     Kimg, Hp, Wp = images3d.shape
     Og = ux.shape[1]
     n_groups = Og // GROUP
-    code, rx, ry, in_x, in_y = _tile_prologue(ux, uy, H, W, Hp)
-    rx2 = rx.T.astype(jnp.float32)                 # (Og, P): the kernel
-    ry2 = ry.T.astype(jnp.float32)                 # wants lanes=taps
-    finf = jnp.concatenate(
-        [fin, in_x, in_y], axis=0
-    ).astype(jnp.float32)                          # (3P, Og) mask stack
+    code, wsy = _tile_prologue(ux, uy, H, W, Hp)
+    sample_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if bf16:
+        images3d = images3d.astype(jnp.bfloat16)
+    ux = ux.astype(jnp.float32)
+    uy = uy.astype(jnp.float32)
+    wsy = wsy.astype(jnp.float32)
 
-    def invoke(iog_s, cnt_s, code_s, rx2_s, ry2_s, ga_s, gb_s, refp_s,
-               aff_s, fin_s):
+    def invoke(iog_s, cnt_s, code_s, ictl_s, inxt_s, ux_s, uy_s, wsy_s,
+               ga_s, gb_s, refp_s, aff_s):
         ng = iog_s.shape[0]
-        lane_spec = [
-            pl.BlockSpec((GROUP, P), lambda g, i, c, cd: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, P), lambda g, i, c, cd: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((104, GROUP), lambda g, i, c, cd: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((104, GROUP), lambda g, i, c, cd: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, GROUP), lambda g, i, c, cd: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, GROUP), lambda g, i, c, cd: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * P, GROUP), lambda g, i, c, cd: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, Hp, Wp),
-                lambda g, img_of_group, c, cd: (img_of_group[g], 0, 0),
+
+        def lane(rows):
+            return pl.BlockSpec(
+                (rows, GROUP), lambda g, a, b, c, d, e: (0, g),
                 memory_space=pltpu.VMEM,
-            ),
+            )
+
+        lane_spec = [
+            lane(P),            # ux
+            lane(P),            # uy
+            lane(2),            # wsy
+            lane(104),          # GA
+            lane(104),          # GB
+            lane(P),            # refp
+            lane(4),            # aff
+            # full image stack stays in HBM; the kernel stages images into
+            # the double-buffered imgbuf scratch (see kernel docstring)
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # img_of_group, counts, code
+            num_scalar_prefetch=5,  # iog, counts, code, ictl, inxt
             grid=(ng,),
             in_specs=lane_spec,
             out_specs=pl.BlockSpec(
-                (OUT_ROWS, GROUP), lambda g, i, c, cd: (0, g),
+                (OUT_ROWS, GROUP), lambda g, a, b, c, d, e: (0, g),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((P, GROUP), jnp.float32),
-                pltpu.VMEM((P, GROUP), jnp.float32),
-                pltpu.VMEM((P, GROUP), jnp.float32),
-                pltpu.VMEM((GROUP, 2 * P, XW), jnp.float32),
-                pltpu.VMEM((GROUP, 2 * P, TILE_H), jnp.float32),
+                pltpu.VMEM((2 * P, GROUP, XW), jnp.float32),     # ty3
+                pltpu.VMEM((2 * P, GROUP, TILE_H), sample_dtype),  # wy23
+                pltpu.VMEM((2 * Hp, Wp), images3d.dtype),        # imgbuf
+                pltpu.SemaphoreType.DMA,                         # imgsem0
+                pltpu.SemaphoreType.DMA,                         # imgsem1
             ],
         )
         return pl.pallas_call(
-            _make_kernel(float(huber_delta), mode),
+            _make_kernel(float(huber_delta), H, W, mode, sample_dtype),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
                 (OUT_ROWS, ng * GROUP), jnp.float32
             ),
             interpret=interpret,
         )(iog_s.astype(jnp.int32), cnt_s.astype(jnp.int32),
-          code_s.astype(jnp.int32), rx2_s, ry2_s, ga_s, gb_s, refp_s,
-          aff_s, fin_s, images3d)
+          code_s.astype(jnp.int32), ictl_s.astype(jnp.int32),
+          inxt_s.astype(jnp.int32), ux_s, uy_s, wsy_s, ga_s, gb_s,
+          refp_s, aff_s, images3d)
 
     if n_groups <= _SEG_GROUPS:
-        return invoke(iog, cnt, code, rx2, ry2, GA, GB, refp, aff, finf)
+        return invoke(iog, cnt, code, ictl, inxt, ux, uy, wsy,
+                      GA, GB, refp, aff)
     parts = []
     for s in range(0, n_groups, _SEG_GROUPS):
         e_ = min(s + _SEG_GROUPS, n_groups)
         sl = slice(s * GROUP, e_ * GROUP)
+        # each segment restarts its own image pipeline (make_mega_consts
+        # computes ictl/inxt with per-_SEG_GROUPS parity/prefetch resets)
         parts.append(invoke(
-            iog[s:e_], cnt[s:e_], code[sl], rx2[sl, :], ry2[sl, :],
-            GA[:, sl], GB[:, sl], refp[:, sl], aff[:, sl], finf[:, sl],
+            iog[s:e_], cnt[s:e_], code[sl], ictl[s:e_], inxt[s:e_],
+            ux[:, sl], uy[:, sl], wsy[:, sl], GA[:, sl], GB[:, sl],
+            refp[:, sl], aff[:, sl],
         ))
     return jnp.concatenate(parts, axis=1)
 
@@ -671,9 +786,10 @@ def build_mega(model: str, images3d, problem: ba.BAProblem,
         [aff_a[:, 0], aff_a[:, 1], aff_t[:, 0], aff_t[:, 1]], axis=0
     )                                                  # (4, Og)
 
-    out = mega_rj(images3d, ux, uy, fin, GA, GB, consts.refp, aff,
-                  consts.iog, consts.cnt, HW=HW,
-                  huber_delta=float(cfg.huber_delta), interpret=interpret)
+    out = mega_rj(images3d, ux, uy, GA, GB, consts.refp, aff,
+                  consts.iog, consts.cnt, consts.ictl, consts.inxt, HW=HW,
+                  huber_delta=float(cfg.huber_delta), interpret=interpret,
+                  bf16=bool(getattr(cfg, "sample_bf16", False)))
 
     cost = jnp.sum(out[ROW_COST])
     outT = out.T                                       # (Og, 184)
@@ -793,9 +909,10 @@ def build_mega_chunk(model: str, images3d, problem: ba.BAProblem,
         [aff_a[:, 0], aff_a[:, 1], aff_t[:, 0], aff_t[:, 1]], axis=0
     )
 
-    out = mega_rj(images3d, ux, uy, fin, GA, GB, consts.refp, aff,
-                  consts.iog, consts.cnt, HW=HW,
-                  huber_delta=float(cfg.huber_delta), interpret=interpret)
+    out = mega_rj(images3d, ux, uy, GA, GB, consts.refp, aff,
+                  consts.iog, consts.cnt, consts.ictl, consts.inxt, HW=HW,
+                  huber_delta=float(cfg.huber_delta), interpret=interpret,
+                  bf16=bool(getattr(cfg, "sample_bf16", False)))
 
     cost = jnp.sum(out[ROW_COST])
     # zero dummy row at index Og: the chunk plans' dummy gathers point there

@@ -88,6 +88,12 @@ class BAConfig(NamedTuple):
     # BA: the residual re-samples every patch, 7.2 of a 16.6 ms build);
     # loses on retry-heavy problems (a rejected try costs a full build).
     cost_from_build: bool = False
+    # photometric megakernel (ops.pba_mega) only: sample image patches in
+    # bfloat16 — one MXU pass per body instead of the 3-pass f32 emulation.
+    # uint8 image intensities are EXACT in bf16; only the bilinear y-taps
+    # round (<=2^-8 relative), validated by kernel parity tests at a bf16
+    # tier and a full-map ATE run (VERDICT r3 #2).  f32 accumulation.
+    sample_bf16: bool = False
 
 
 class BAResult(NamedTuple):

@@ -116,11 +116,16 @@ def refine_photometric(
     max_iterations: int = 20,
     huber_delta: float = 9.0,
     levels: int = 3,
+    sample_bf16: bool = False,
     log=print,
 ):
     """Run coarse-to-fine photometric BA seeded from the geometric map;
     writes refined poses/depths back into the pipeline.  Returns the final
-    (full-resolution) BAResult."""
+    (full-resolution) BAResult.
+
+    ``sample_bf16``: opt-in bf16 patch sampling in the TPU megakernel
+    (uint8 intensities exact; bilinear taps <=2^-8 relative; validated by
+    a full-map ATE run — see RESULTS)."""
     t0 = time.time()
     problem, images_flat, H, W, cam_list, lm_list = build_photometric_problem(
         pipe
@@ -128,7 +133,7 @@ def refine_photometric(
     model = pipe.calib.cam_types[0] if pipe.calib.cam_types else "ds"
     cfg = ba.BAConfig(
         max_iterations=max_iterations, huber_delta=huber_delta,
-        function_tolerance=1e-8,
+        function_tolerance=1e-8, sample_bf16=sample_bf16,
     )
 
     images0 = images_flat.reshape(-1, H, W)

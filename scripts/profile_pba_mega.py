@@ -67,14 +67,15 @@ def kernel_only(problem, img, consts):
         ux, uy, fin, GA, GB = pba_mega.warp_slabs(
             "pinhole", problem.cam_states, problem.inv_depth, consts
         )
-        affc = problem.cam_states.affine
+        affp = jnp.pad(problem.cam_states.affine, ((0, 0), (0, 6)))
+        aff_a = affp[consts.an]
+        aff_t = affp[consts.tn]
         aff = jnp.stack(
-            [affc[consts.an, 0], affc[consts.an, 1],
-             affc[consts.tn, 0], affc[consts.tn, 1]], axis=0
+            [aff_a[:, 0], aff_a[:, 1], aff_t[:, 0], aff_t[:, 1]], axis=0
         )
         return pba_mega.mega_rj(
-            img, ux, uy, fin, GA, GB, consts.refp, aff,
-            consts.iog, consts.cnt, HW=mega.HW, huber_delta=9.0,
+            img, ux, uy, GA, GB, consts.refp, aff,
+            consts.iog, consts.cnt, consts.ictl, consts.inxt, HW=mega.HW, huber_delta=9.0,
         )
 
 
@@ -108,14 +109,15 @@ def modes():
                 ux, uy, fin, GA, GB = pba_mega.warp_slabs(
                     "pinhole", problem.cam_states, problem.inv_depth, consts
                 )
-                affc = problem.cam_states.affine
+                affp = jnp.pad(problem.cam_states.affine, ((0, 0), (0, 6)))
+                aff_a = affp[consts.an]
+                aff_t = affp[consts.tn]
                 aff = jnp.stack(
-                    [affc[consts.an, 0], affc[consts.an, 1],
-                     affc[consts.tn, 0], affc[consts.tn, 1]], axis=0
+                    [aff_a[:, 0], aff_a[:, 1], aff_t[:, 0], aff_t[:, 1]], axis=0
                 )
                 return pba_mega.mega_rj(
-                    img, ux, uy, fin, GA, GB, consts.refp, aff,
-                    consts.iog, consts.cnt, HW=mega.HW, huber_delta=9.0,
+                    img, ux, uy, GA, GB, consts.refp, aff,
+                    consts.iog, consts.cnt, consts.ictl, consts.inxt, HW=mega.HW, huber_delta=9.0,
                     mode=mode,
                 )
         return f
@@ -161,14 +163,15 @@ def noperturb():
                 ux, uy, fin, GA, GB = pba_mega.warp_slabs(
                     "pinhole", problem.cam_states, problem.inv_depth, consts
                 )
-                affc = problem.cam_states.affine
+                affp = jnp.pad(problem.cam_states.affine, ((0, 0), (0, 6)))
+                aff_a = affp[consts.an]
+                aff_t = affp[consts.tn]
                 aff = jnp.stack(
-                    [affc[consts.an, 0], affc[consts.an, 1],
-                     affc[consts.tn, 0], affc[consts.tn, 1]], axis=0
+                    [aff_a[:, 0], aff_a[:, 1], aff_t[:, 0], aff_t[:, 1]], axis=0
                 )
                 return pba_mega.mega_rj(
-                    im, ux, uy, fin, GA, GB, consts.refp, aff,
-                    consts.iog, consts.cnt, HW=mega.HW, huber_delta=9.0,
+                    im, ux, uy, GA, GB, consts.refp, aff,
+                    consts.iog, consts.cnt, consts.ictl, consts.inxt, HW=mega.HW, huber_delta=9.0,
                     mode=mode,
                 )
         return f
@@ -191,22 +194,146 @@ def prolog():
             ux, uy, fin, GA, GB = pba_mega.warp_slabs(
                 "pinhole", problem.cam_states, problem.inv_depth, consts
             )
-            affc = problem.cam_states.affine
+            affp = jnp.pad(problem.cam_states.affine, ((0, 0), (0, 6)))
+            aff_a = affp[consts.an]
+            aff_t = affp[consts.tn]
             aff = jnp.stack(
-                [affc[consts.an, 0], affc[consts.an, 1],
-                 affc[consts.tn, 0], affc[consts.tn, 1]], axis=0
+                [aff_a[:, 0], aff_a[:, 1], aff_t[:, 0], aff_t[:, 1]], axis=0
             )
-            code, rx, ry, in_x, in_y = pba_mega._tile_prologue(
+            code, wsy = pba_mega._tile_prologue(
                 ux, uy, mega.HW[0], mega.HW[1], Hp
             )
-            rx2 = rx.T.astype(jnp.float32)
-            ry2 = ry.T.astype(jnp.float32)
-            finf = jnp.concatenate([fin, in_x, in_y], axis=0).astype(
-                jnp.float32)
-            return (code, rx2, ry2, finf, GA, GB, aff)
+            return (code, wsy, ux, uy, GA, GB, aff)
 
     devtime(f, problem, consts, iters=30, label="warp + prologue (no pallas)")
 
 
 if "prolog" in sys.argv:
     prolog()
+
+
+def assembly():
+    """Piece timing of the dense Schur assembly after the kernel."""
+    import numpy as np
+
+    out = jax.jit(
+        lambda p, i, c: kernel_only(p, i, c)
+    )(problem, img, consts)
+    out = jax.block_until_ready(out)
+    C = 8
+    K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
+    L = problem.inv_depth.shape[0]
+
+    def t_transpose(out):
+        return out.T + 0.0
+
+    def t_j2(out):
+        return out.T[:, jnp.asarray(pba_mega.PERMCOLS)]
+
+    def t_gram(out):
+        outT = out.T
+        J2 = outT[:, jnp.asarray(pba_mega.PERMCOLS)]
+        rows = J2[mplan.pg]
+        rows2 = rows.reshape(rows.shape[0], -1, 17)[..., :16]
+        G2 = jnp.einsum("nbi,nbj->nij", rows2, rows2)
+        blocks = jnp.stack(
+            [G2[:, :C, :C], G2[:, :C, C:], G2[:, C:, :C], G2[:, C:, C:]],
+            axis=1,
+        ).reshape(-1, C * C)
+        return (
+            jnp.zeros((K * K + 1, C * C), jnp.float32)
+            .at[mplan.cc_rows4.reshape(-1)]
+            .add(blocks)[: K * K]
+        )
+
+    def t_ab(out):
+        outT = out.T
+        AB = outT[:, 145:179][mplan.g_of_s]
+        A0s = AB[:, :17]
+        A1s = AB[:, 17:]
+        S_ = mplan.lm_cam.shape[0]
+        A0r = A0s.reshape(S_, L, 17)
+        red0 = A0r.sum(0)
+        oh = jax.nn.one_hot(mplan.lm_cam, K, dtype=jnp.float32)
+        vt_sl = A0r[:, :, C:2 * C]
+        M = jnp.einsum("slk,slc->lkc", oh, vt_sl).reshape(L, K * C)
+        g_c = (jax.nn.one_hot(mplan.obs_anchor_cam, K, dtype=jnp.float32).T
+               @ A1s[:, :C])
+        return M, red0, g_c
+
+    with jax.default_matmul_precision("float32"):
+        devtime(t_transpose, out, iters=30, label="assembly: out.T")
+        devtime(t_j2, out, iters=30, label="assembly: out.T + PERMCOLS gather")
+        devtime(t_gram, out, iters=30, label="assembly: ... + pair Gram")
+        devtime(t_ab, out, iters=30, label="assembly: AB slot lift + M einsum")
+
+
+if "assembly" in sys.argv:
+    assembly()
+
+
+def bf16_mode():
+    cfg16 = cfg._replace(sample_bf16=True)
+
+    def full_iter16(problem, img, consts, mplan):
+        with jax.default_matmul_precision("float32"):
+            cost, neq = pba_mega.build_mega(
+                "pinhole", img, problem, consts, mplan, cfg16, HW=mega.HW
+            )
+            dc, dp = pba_mega.solve_lam(
+                neq, jnp.asarray(1e-4, problem.inv_depth.dtype),
+                ~problem.fixed_cams, cfg16,
+            )
+            new_cams = jax.vmap(pba.cam_retract)(problem.cam_states, dc)
+            return problem._replace(
+                cam_states=new_cams, inv_depth=problem.inv_depth + dp
+            ), cost
+
+    def kernel16(problem, img, consts):
+        with jax.default_matmul_precision("float32"):
+            ux, uy, fin, GA, GB = pba_mega.warp_slabs(
+                "pinhole", problem.cam_states, problem.inv_depth, consts
+            )
+            affp = jnp.pad(problem.cam_states.affine, ((0, 0), (0, 6)))
+            aff_a = affp[consts.an]
+            aff_t = affp[consts.tn]
+            aff = jnp.stack(
+                [aff_a[:, 0], aff_a[:, 1], aff_t[:, 0], aff_t[:, 1]], axis=0
+            )
+            return pba_mega.mega_rj(
+                img, ux, uy, GA, GB, consts.refp, aff,
+                consts.iog, consts.cnt, consts.ictl, consts.inxt, HW=mega.HW, huber_delta=9.0,
+                bf16=True,
+            )
+
+    img16 = img.astype(jnp.bfloat16)
+
+    def kernel16_pre(problem, img16, consts):
+        """bf16 path with the image stack ALREADY cast (halves HBM image
+        traffic too; the production solver can hold a bf16 stack)."""
+        with jax.default_matmul_precision("float32"):
+            ux, uy, fin, GA, GB = pba_mega.warp_slabs(
+                "pinhole", problem.cam_states, problem.inv_depth, consts
+            )
+            affp = jnp.pad(problem.cam_states.affine, ((0, 0), (0, 6)))
+            aff_a = affp[consts.an]
+            aff_t = affp[consts.tn]
+            aff = jnp.stack(
+                [aff_a[:, 0], aff_a[:, 1], aff_t[:, 0], aff_t[:, 1]], axis=0
+            )
+            return pba_mega.mega_rj(
+                img16, ux, uy, GA, GB, consts.refp, aff,
+                consts.iog, consts.cnt, consts.ictl, consts.inxt, HW=mega.HW, huber_delta=9.0,
+                bf16=True,
+            )
+
+    devtime(full_iter16, problem, img, consts, mplan, iters=30,
+            label="full LM iteration (mega, bf16)")
+    devtime(kernel16, problem, img, consts, iters=30,
+            label="warp + kernel (bf16, cast in-graph)")
+    devtime(kernel16_pre, problem, img16, consts, iters=30,
+            label="warp + kernel (bf16, pre-cast stack)")
+
+
+if "bf16" in sys.argv:
+    bf16_mode()

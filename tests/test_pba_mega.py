@@ -246,3 +246,34 @@ def test_mega_solve_reduces_cost_like_gather():
         np.asarray(prob.cam_states.pose), np.asarray(ref_prob.cam_states.pose),
         atol=1e-4,
     )
+
+
+def test_mega_build_bf16_tier():
+    """bf16 sampling (cfg.sample_bf16): uint8 intensities are exact in
+    bf16 and only the bilinear y-taps round (<=2^-8 relative), so the
+    build must agree with the f32 kernel at a grey-level-scale tolerance
+    and the normal equations at ~1% (VERDICT r3 #2 tolerance tier)."""
+    model = "pinhole"
+    problem, images_flat, H, W = _small_problem(seed=4)
+    cfg32 = ba.BAConfig(max_iterations=1, huber_delta=9.0,
+                        schur_matmul_precision="highest")
+    cfg16 = cfg32._replace(sample_bf16=True)
+    n_images = problem.cam_states.pose.shape[0]
+
+    mega = pba_mega.make_mega_solver(
+        model, images_flat, H, W, problem, n_images, interpret=True
+    )
+    cost32, neq32 = mega.build(problem, cfg32)
+    cost16, neq16 = mega.build(problem, cfg16)
+
+    np.testing.assert_allclose(float(cost16), float(cost32), rtol=2e-2)
+    names = ["H_cc", "S_corr0", "rhs_corr0", "H_pp", "g_c", "g_p", "M",
+             "inv0"]
+    for name, a, b in zip(names, neq16, neq32):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(
+            a, b, atol=3e-2 * scale, rtol=5e-2,
+            err_msg=f"bf16 neq piece {name} diverges beyond the tier",
+        )
