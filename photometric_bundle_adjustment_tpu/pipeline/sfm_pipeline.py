@@ -213,19 +213,64 @@ class SfmPipeline:
         finally:
             self.device_seconds += time.time() - t0
 
+    def _uv_table(self):
+        """All detected keypoint uv rows concatenated once (corners are
+        static after detection) + per-image base offsets: per-row lookups
+        become one fancy index instead of 10^6-scale np.stack-of-(2,)
+        calls (round-4 host profile)."""
+        key = (id(self.corners), len(self.corners))
+        if getattr(self, "_uvt_key", None) != key:
+            offs = {}
+            parts = []
+            base = 0
+            for fcid, c in self.corners.items():
+                uv = c["uv"]
+                offs[fcid] = base
+                parts.append(uv)
+                base += uv.shape[0]
+            self._uvt = (np.concatenate(parts, axis=0) if parts
+                         else np.zeros((0, 2)))
+            self._uvt_off = offs
+            self._uvt_key = key
+        return self._uvt, self._uvt_off
+
+    def _pose_table(self):
+        """Current camera poses stacked (K, 7) + fcid -> row map (poses
+        change every BA cycle, so this is rebuilt per call — O(K))."""
+        pose_of = {}
+        rowsl = []
+        for i, (f, T) in enumerate(self.cameras.items()):
+            pose_of[f] = i
+            rowsl.append(np.asarray(T))
+        tab = np.stack(rowsl) if rowsl else np.zeros((0, 7))
+        return tab, pose_of
+
     def landmark_positions(self, tids: list) -> np.ndarray:
         """Batched Landmark::get_p (common_types.h:205-217); bucketed so the
         kernel compiles once per power-of-two row count."""
         if not tids:
             return np.zeros((0, 3))
-        anchors = [self.landmarks[t].anchor() for t in tids]
-        uv = np.stack(
-            [self.corners[a]["uv"][self.landmarks[t].obs[a]]
-             for a, t in zip(anchors, tids)]
-        )
-        cam_ids = np.array([a[1] for a in anchors])
-        rho = np.array([self.landmarks[t].inv_depth for t in tids])
-        T = np.stack([np.asarray(self.cameras[a]) for a in anchors])
+        uvf, off = self._uv_table()
+        pose_tab, pose_of = self._pose_table()
+        # per-UNIQUE-tid scalars (callers pass one tid per observation
+        # row, so the anchor min()/lookups would otherwise repeat ~5x)
+        cache: dict = {}
+        uvidx, cam_l, pose_l, rho_l = [], [], [], []
+        for t in tids:
+            e = cache.get(t)
+            if e is None:
+                lm = self.landmarks[t]
+                a = min(lm.obs)
+                e = (off[a] + lm.obs[a], a[1], pose_of[a], lm.inv_depth)
+                cache[t] = e
+            uvidx.append(e[0])
+            cam_l.append(e[1])
+            pose_l.append(e[2])
+            rho_l.append(e[3])
+        uv = uvf[np.asarray(uvidx)]
+        cam_ids = np.asarray(cam_l)
+        rho = np.asarray(rho_l)
+        T = pose_tab[np.asarray(pose_l)]
         intr = np.asarray(self.calib.intrinsics)[cam_ids]
         N = len(tids)
         M = _bucket(N, 256)
@@ -579,17 +624,22 @@ class SfmPipeline:
     def _batch_triangulate(self, rows: list):
         """Triangulate (fcid0, fcid1, tid) rows in one bucketed kernel call
         with the parallax gate; returns (inv_depth (N,), ok (N,))."""
-        uv0 = np.stack(
-            [self.corners[f0]["uv"][self.tracks[t][f0]] for f0, _, t in rows]
-        )
-        uv1 = np.stack(
-            [self.corners[f1]["uv"][self.tracks[t][f1]] for _, f1, t in rows]
-        )
+        uvf, off = self._uv_table()
+        pose_tab, pose_of = self._pose_table()
+        n = len(rows)
+        uv0 = uvf[np.fromiter(
+            (off[f0] + self.tracks[t][f0] for f0, _, t in rows), np.int64, n
+        )]
+        uv1 = uvf[np.fromiter(
+            (off[f1] + self.tracks[t][f1] for _, f1, t in rows), np.int64, n
+        )]
         intr = np.asarray(self.calib.intrinsics)
-        intr0 = intr[np.array([f0[1] for f0, _, _ in rows])]
-        intr1 = intr[np.array([f1[1] for _, f1, _ in rows])]
-        T0 = np.stack([np.asarray(self.cameras[f0]) for f0, _, _ in rows])
-        T1 = np.stack([np.asarray(self.cameras[f1]) for _, f1, _ in rows])
+        intr0 = intr[np.fromiter((f0[1] for f0, _, _ in rows), np.int64, n)]
+        intr1 = intr[np.fromiter((f1[1] for _, f1, _ in rows), np.int64, n)]
+        T0 = pose_tab[np.fromiter((pose_of[f0] for f0, _, _ in rows),
+                                  np.int64, n)]
+        T1 = pose_tab[np.fromiter((pose_of[f1] for _, f1, _ in rows),
+                                  np.int64, n)]
         N = len(rows)
         M = _bucket(N, 256)
         self._count("triangulate_calls")
@@ -625,10 +675,37 @@ class SfmPipeline:
             n_new += 1
         return n_new
 
+    def _image_track_index(self):
+        """Per-image track-id sets + track insertion ranks, rebuilt when
+        the track dict changes (build, cache load, outlier pop).  Turns
+        the O(images^2 x tracks) all-pairs shared-track scans of the
+        landmark-growing stage (GetTracksInImages, tracks.h:175-197) into
+        set intersections — the round-3 host profile showed those scans
+        as the largest pure-Python cost of the incremental loop."""
+        key = (id(self.tracks), len(self.tracks))
+        if getattr(self, "_tix_key", None) != key:
+            idx: dict = {}
+            order: dict = {}
+            for i, (tid, tr) in enumerate(self.tracks.items()):
+                order[tid] = i
+                for fcid in tr:
+                    idx.setdefault(fcid, set()).add(tid)
+            self._tix = idx
+            self._tix_order = order
+            self._tix_key = key
+        return self._tix, self._tix_order
+
+    def _shared_track_ids(self, fcid_a, fcid_b) -> list:
+        """Track ids observed in both images, in track insertion order —
+        exactly tracks_in_images({a, b}, tracks) but via the index."""
+        idx, order = self._image_track_index()
+        s = idx.get(fcid_a, set()) & idx.get(fcid_b, set())
+        return sorted(s, key=order.__getitem__)
+
     def add_landmarks_between(self, fcid0, fcid1) -> int:
         """Triangulate shared, not-yet-landmark tracks between two mapped
         cameras (add_new_landmarks_between_cams, map_utils.h:121-195)."""
-        shared = tracks_mod.tracks_in_images({fcid0, fcid1}, self.tracks)
+        shared = self._shared_track_ids(fcid0, fcid1)
         new_tids = [t for t in shared if t not in self.landmarks]
         if not new_tids:
             return 0
@@ -693,11 +770,17 @@ class SfmPipeline:
         self.stage = Stage.ADD_CAMERAS
 
     def _next_candidate_set(self):
+        idx, _ = self._image_track_index()
+        # landmark insertion rank reproduces shared_tracks' iteration
+        # order (GetSharedTracks, tracks.h:209-221) from the index
+        lm_rank = {tid: i for i, tid in enumerate(self.landmarks)}
+        lm_keys = self.landmarks.keys()
         cands = []
         for fcid in self.fcids:
             if fcid in self.cameras:
                 continue
-            shared = tracks_mod.shared_tracks(fcid, self.tracks, self.landmarks)
+            shared = sorted(idx.get(fcid, set()) & lm_keys,
+                            key=lm_rank.__getitem__)
             if len(shared) >= self.min_localization_inliers:
                 cands.append(Candidate(fcid, shared))
         cands.sort(key=lambda c: -len(c.shared_tracks))
@@ -705,10 +788,10 @@ class SfmPipeline:
 
     def localize_camera(self, fcid, shared_track_ids):
         """PnP RANSAC + refinement (localize_camera, map_utils.h:242-302)."""
-        uv = np.stack(
-            [self.corners[fcid]["uv"][self.tracks[t][fcid]]
-             for t in shared_track_ids]
-        )
+        uv = self.corners[fcid]["uv"][np.fromiter(
+            (self.tracks[t][fcid] for t in shared_track_ids),
+            np.int64, len(shared_track_ids),
+        )]
         points = self.landmark_positions(shared_track_ids)
         # fixed 1024-slot pad for typical counts: ONE compiled localize
         # kernel (unproject + RANSAC) instead of one per varying shape
@@ -823,9 +906,7 @@ class SfmPipeline:
             for fcid_existing in list(self.cameras):
                 if fcid_existing == fcid:
                     continue
-                shared = tracks_mod.tracks_in_images(
-                    {fcid_existing, fcid}, self.tracks
-                )
+                shared = self._shared_track_ids(fcid_existing, fcid)
                 rows.extend(
                     (fcid_existing, fcid, t)
                     for t in shared
@@ -883,18 +964,19 @@ class SfmPipeline:
             anchor_cam_idx[i] = cam_index[a]
             anchor_intr[i] = a[1]
 
-        oa, oc, ol, uv_t, uv_r, ir, it = [], [], [], [], [], [], []
+        uvf, off = self._uv_table()
+        oa, oc, ol, uvti, ir, it = [], [], [], [], [], []
         for t, i in lm_index.items():
             lm = self.landmarks[t]
-            a = lm.anchor()
             for fcid, feat in sorted(lm.obs.items())[1:]:  # skip anchor obs
                 oa.append(anchor_cam_idx[i])
                 oc.append(cam_index[fcid])
                 ol.append(i)
-                uv_t.append(self.corners[fcid]["uv"][feat])
-                uv_r.append(anchor_uv[i])
+                uvti.append(off[fcid] + feat)
                 ir.append(anchor_intr[i])
                 it.append(fcid[1])
+        uv_t = uvf[np.asarray(uvti, np.int64)] if uvti else []
+        uv_r = anchor_uv[np.asarray(ol, np.int64)] if ol else []
         O = _bucket(max(len(oa), 1))
         self._ba_hwm[2] = O = max(O, self._ba_hwm[2])
         pad = O - len(oa)
@@ -921,12 +1003,12 @@ class SfmPipeline:
             target_cam=parr(oc, ()) if oc else np.zeros(O, np.int32),
             landmark=parr(ol, ()) if ol else np.zeros(O, np.int32),
             uv_target=jnp.asarray(
-                parr(np.array(uv_t).reshape(-1, 2), (2,))
-                if uv_t else np.zeros((O, 2))
+                parr(np.asarray(uv_t).reshape(-1, 2), (2,))
+                if len(uv_t) else np.zeros((O, 2))
             ),
             uv_ref=jnp.asarray(
-                parr(np.array(uv_r).reshape(-1, 2), (2,))
-                if uv_r else np.zeros((O, 2))
+                parr(np.asarray(uv_r).reshape(-1, 2), (2,))
+                if len(uv_r) else np.zeros((O, 2))
             ),
             intr_ref=jnp.asarray(intr_tab[parr(ir, ()) if ir else np.zeros(O, int)]),
             intr_target=jnp.asarray(
@@ -1073,9 +1155,13 @@ class SfmPipeline:
             return {}
         tids = [r[0] for r in rows]
         p_w = self.landmark_positions(tids)  # batched get_p per row's landmark
-        T = np.stack([np.asarray(self.cameras[r[1]]) for r in rows])
-        uv_meas = np.stack([self.corners[r[1]]["uv"][r[2]] for r in rows])
-        cam_ids = np.array([r[1][1] for r in rows])
+        uvf, off = self._uv_table()
+        pose_tab, pose_of = self._pose_table()
+        n = len(rows)
+        T = pose_tab[np.fromiter((pose_of[r[1]] for r in rows), np.int64, n)]
+        uv_meas = uvf[np.fromiter((off[r[1]] + r[2] for r in rows),
+                                  np.int64, n)]
+        cam_ids = np.fromiter((r[1][1] for r in rows), np.int64, n)
         intr = np.asarray(self.calib.intrinsics)[cam_ids]
         N = len(rows)
         M = _bucket(N, 256)
