@@ -84,12 +84,15 @@ def build_step(dtype, use_manual_jac: bool, host_plan: bool = False,
     return lm_step, problem
 
 
-def build_pba_step(dtype, use_kernel: bool, **scale):
+def build_pba_step(dtype, use_kernel: bool, sample_bf16: bool = False,
+                   **scale):
     """Photometric kernel-dense LM step at EuRoC scale.
 
-    ``use_kernel``: route image sampling through the Pallas patch kernel
+    ``use_kernel``: route image sampling through the Pallas megakernel
     (TPU); False uses the XLA gather sampler (the production CPU path —
     the two agree to 1e-4, tests/test_photometric_ba.py).
+    ``sample_bf16``: the megakernel's opt-in bf16 sampling tier (uint8
+    intensities exact, bilinear y-taps <=2^-8; ATE-validated).
     """
     import jax
     import jax.numpy as jnp
@@ -100,7 +103,8 @@ def build_pba_step(dtype, use_kernel: bool, **scale):
 
     problem, images_flat, H, W = build_euroc_scale_pba(dtype=dtype, **scale)
     cfg = ba.BAConfig(max_iterations=1, huber_delta=9.0,
-                      schur_matmul_precision="high")
+                      schur_matmul_precision="high",
+                      sample_bf16=sample_bf16)
     problem, plan = fused.densify_problem(problem, pow2_buckets=False)
     n_images = problem.cam_states.pose.shape[0]
 
@@ -744,6 +748,21 @@ def main():
             rec["roofline"] = kernel_roofline(
                 pba_step, (pba_problem, pba_const), dt_pba)
         emit(rec)
+
+        if not cpu_mode:
+            # bf16 sampling tier (opt-in production flag, ATE-validated):
+            # reported alongside the f32 line, not as the headline — the
+            # CPU baseline is an f32 formulation
+            step16, prob16, const16 = build_pba_step(
+                jnp.float32, use_kernel=True, sample_bf16=True
+            )
+            dt16 = time_iters(step16, prob16, 30, const=const16)
+            emit({
+                "metric": f"pba_lm_iters_per_s_{backend}_bf16",
+                "value": round(1.0 / dt16, 3),
+                "unit": "iters/s (bf16 sampling tier)",
+                "vs_baseline": round(dt_pba_cpu / dt16, 3),
+            })
     except Exception as e:
         emit_err(f"pba_lm_iters_per_s_{backend}", e)
 
