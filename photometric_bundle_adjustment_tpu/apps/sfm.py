@@ -135,6 +135,11 @@ def main(argv=None):
             "backend": jax.default_backend(),
             "timings_s": {k: round(v, 3)
                           for k, v in sorted(pipe.timings.items())},
+            # same stage keys, wall spent inside device dispatch+fetch
+            # blocks only: stage host bookkeeping = timings_s[k] -
+            # timings_dev_s[k]
+            "timings_dev_s": {k: round(v, 3)
+                              for k, v in sorted(pipe.timings_dev.items())},
             "counters": dict(sorted(pipe.counters.items())),
             "summary": pipe.summary(),
         }

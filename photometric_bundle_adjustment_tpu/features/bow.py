@@ -206,3 +206,19 @@ class BowDatabase:
                 scores[fcid] = scores.get(fcid, 0.0) + abs(a - b) - abs(a) - abs(b)
         ranked = sorted(scores.items(), key=lambda kv: kv[1])[:num_results]
         return [(fcid, 2.0 + s) for fcid, s in ranked]
+
+    def save(self, path: str):
+        """Persist the inverted index in the reference's cereal-JSON
+        layout (BowDatabase::save, bow_db.h:99-111)."""
+        from photometric_bundle_adjustment_tpu.io import cereal_io
+
+        cereal_io.save_bow_db_json(path, self.index)
+
+    def load(self, path: str):
+        """Merge a saved inverted index into this database
+        (BowDatabase::load, bow_db.h:112-124 — entries append to any
+        already-inserted postings, as in the reference)."""
+        from photometric_bundle_adjustment_tpu.io import cereal_io
+
+        for w, posts in cereal_io.load_bow_db_json(path).items():
+            self.index.setdefault(w, []).extend(posts)

@@ -471,3 +471,58 @@ def save_bow_vocabulary_cereal(path: str, k: int, L: int, nodes) -> None:
         w.u32(int(nd["word_id"]))
     with open(path, "wb") as f:
         f.write(w.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# BoW database inverted index — cereal JSON archive (bow_db.h:99-124).
+# Unlike every other artifact, BowDatabase::save/load uses a
+# JSONOutputArchive: the payload is one root value ("value0") holding the
+# unordered_map as an array of {"key": word, "value": [...]} items, each
+# posting a {"first": {"value0": frame_id, "value1": cam_id},
+# "second": weight} pair (cereal's generic map / pair / FrameCamId JSON
+# forms).  Golden bytes generated with the reference's own archive:
+# refbaseline/bow_db_golden.cpp -> refbaseline/artifacts/bow_db_golden.json.
+
+
+def load_bow_db_json(path: str) -> dict:
+    """Read a reference BowDatabase inverted index -> {word: [((frame,
+    cam), weight), ...]} (bow_db.h:112-124)."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    out: dict = {}
+    for item in doc["value0"]:
+        word = int(item["key"])
+        posts = [
+            ((int(p["first"]["value0"]), int(p["first"]["value1"])),
+             float(p["second"]))
+            for p in item["value"]
+        ]
+        out.setdefault(word, []).extend(posts)
+    return out
+
+
+def save_bow_db_json(path: str, index: dict) -> None:
+    """Write {word: [((frame, cam), weight), ...]} in the reference's
+    BowDatabase::save JSON layout (bow_db.h:99-111); 4-space indentation
+    matches cereal's rapidjson PrettyWriter output."""
+    import json
+
+    doc = {
+        "value0": [
+            {
+                "key": int(word),
+                "value": [
+                    {
+                        "first": {"value0": int(f), "value1": int(c)},
+                        "second": float(v),
+                    }
+                    for (f, c), v in posts
+                ],
+            }
+            for word, posts in index.items()
+        ]
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=4)

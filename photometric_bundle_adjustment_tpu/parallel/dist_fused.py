@@ -439,8 +439,67 @@ def make_distributed_fused_solver(
                      + jnp.diag(1.0 - mask_loc))
                 choB = jax.scipy.linalg.cho_factor(B, lower=True)
 
+                # ---- coarse level (two-level additive Schwarz) --------
+                # The device blocks capture local temporal coupling but
+                # none of the trajectory's low-frequency error modes, so
+                # CG stalls on them (round-3/4 scale-stress: the cap
+                # binds at small/medium).  Deflate them with a coarse
+                # space Z of piecewise-constant-per-device tangent
+                # directions (one column per (device, tangent dim), DC
+                # columns total): E = Z^T S(lam) Z is (D*C x D*C),
+                # assembled exactly from the pieces already in hand (one
+                # psum of a (C, DC) block-row + one psum of the MZ Gram)
+                # and Cholesky-factored replicated.  Apply cost per CG
+                # step: one (C,)-payload all_gather + a DC-dim
+                # triangular solve.  P^-1 = B^-1 + Z E^-1 Z^T stays SPD.
+                nd_ = mesh.devices.size
+                DC = nd_ * C_
+                Hm = H_rows * mask_loc[:, None] * maskp[None, :]
+                # Z_d^T H_rows: reduce local rows per tangent dim, then
+                # group the KCp columns by owning device
+                blkrow = (
+                    Hm.reshape(KpD, C_, KCp).sum(0)
+                      .reshape(C_, nd_, KpD, C_).sum(2)
+                      .reshape(C_, DC)
+                )
+                rowsel = (jnp.arange(nd_) == didx).astype(dtype)
+                A_coarse = jax.lax.psum(
+                    rowsel[:, None, None] * blkrow[None], DATA_AXIS
+                ).reshape(DC, DC)
+                # lam * d term: diagonal per coarse dim (groups disjoint)
+                dcoarse_loc = (lam * d_loc * mask_loc).reshape(
+                    KpD, C_).sum(0)                        # (C_,)
+                dcoarse = jax.lax.all_gather(
+                    dcoarse_loc, DATA_AXIS, tiled=True
+                )                                          # (DC,)
+                # Schur-correction term: MZ Gram over landmark shards
+                Mp = jnp.zeros((M.shape[0], KCp), M.dtype)
+                Mp = Mp.at[:, :KC].set(M * maskp[None, :KC])
+                MZ = Mp.reshape(-1, nd_, KpD, C_).sum(2).reshape(-1, DC)
+                E_corr = jax.lax.psum(
+                    MZ.T @ (inv0[:, None] * MZ), DATA_AXIS
+                )
+                cmask_loc = (mask_loc.reshape(KpD, C_).sum(0) > 0
+                             ).astype(dtype)
+                cmask = jax.lax.all_gather(
+                    cmask_loc, DATA_AXIS, tiled=True
+                )                                          # (DC,)
+                E = (A_coarse + jnp.diag(dcoarse)
+                     - E_corr / (1.0 + lam))
+                E = (E * cmask[:, None] * cmask[None, :]
+                     + jnp.diag(1.0 - cmask))
+                choE = jax.scipy.linalg.cho_factor(E, lower=True)
+
                 def precond(r):
-                    return jax.scipy.linalg.cho_solve(choB, r) * mask_loc
+                    zb = jax.scipy.linalg.cho_solve(choB, r) * mask_loc
+                    rc_loc = (r * mask_loc).reshape(KpD, C_).sum(0)
+                    rc = jax.lax.all_gather(
+                        rc_loc, DATA_AXIS, tiled=True
+                    )
+                    y = jax.scipy.linalg.cho_solve(choE, rc * cmask) * cmask
+                    y_loc = jax.lax.dynamic_slice(y, (didx * C_,), (C_,))
+                    zc = jnp.tile(y_loc, KpD) * mask_loc
+                    return zb + zc
 
                 def matvec(p_loc):
                     p_full = jax.lax.all_gather(

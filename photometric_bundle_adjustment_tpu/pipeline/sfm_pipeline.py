@@ -183,6 +183,11 @@ class SfmPipeline:
         self.max_cameras_to_add = 0
         self.image_projections: dict = {}
         self.timings: dict = {}
+        # per-stage wall spent in device dispatch+fetch blocks (same keys
+        # as ``timings``): stage host bookkeeping = timings[k] -
+        # timings_dev[k].  apps.sfm writes both so the end-to-end wall
+        # story can name the host hotspots per stage.
+        self.timings_dev: dict = {}
         # wall spent in device dispatch+fetch blocks (see _dev); host
         # bookkeeping = total wall - device_seconds
         self.device_seconds = 0.0
@@ -295,12 +300,12 @@ class SfmPipeline:
         one fetch of all features.  Per-dispatch tunnel latency made the
         old per-batch loop the single most volatile stage (206-439 s wall
         for 0.4 s/batch of device compute)."""
-        t0 = time.time()
+        t0, d0 = time.time(), self.device_seconds
         self.clear_keypoints()
         F = self.cfg.num_features_per_image
         N = len(self.fcids)
         if N == 0:
-            self.timings["detect"] = time.time() - t0
+            self._stage_mark("detect", t0, d0)
             return
         shape = next(iter(self.images.values())).shape
         Np = -(-N // batch) * batch  # zero-pad: padded images yield no corners
@@ -323,7 +328,7 @@ class SfmPipeline:
                 "uv": uv[i], "valid": valid[i],
                 "angles": angles[i], "desc": desc[i],
             }
-        self.timings["detect"] = time.time() - t0
+        self._stage_mark("detect", t0, d0)
         self._save_cache("corners")
         self.log(f"Detected keypoints in {len(self.fcids)} images "
                  f"({self.timings['detect']:.1f}s)")
@@ -357,7 +362,7 @@ class SfmPipeline:
     def match_stereo(self):
         """Stereo pairs with known extrinsics + epipolar check
         (sfm.cpp:1217-1272)."""
-        t0 = time.time()
+        t0, d0 = time.time(), self.device_seconds
         self.clear_tracks()
         T_0_1 = np.asarray(
             se3.compose(
@@ -421,7 +426,7 @@ class SfmPipeline:
                 }
                 num_matches += n
                 num_inliers += len(inliers)
-        self.timings["match_stereo"] = time.time() - t0
+        self._stage_mark("match_stereo", t0, d0)
         self.log(
             f"Matched {self.num_frames} stereo pairs with {num_inliers} inlier "
             f"feature matches ({num_matches} total). New total of matched "
@@ -441,12 +446,12 @@ class SfmPipeline:
     def match_all(self):
         """Brute-force matching of all non-stereo pairs, chunk-vmapped on
         device (sfm.cpp:1275-1351)."""
-        t0 = time.time()
+        t0, d0 = time.time(), self.device_seconds
         self.clear_tracks()
         ids = self._pair_worklist()
         self.log(f"Brute-force matching {len(ids)} image pairs...")
         self._run_pair_matching(ids)
-        self.timings["match_all"] = time.time() - t0
+        self._stage_mark("match_all", t0, d0)
         self._report_pair_matching(ids)
         self._save_cache("matches")
 
@@ -567,7 +572,7 @@ class SfmPipeline:
                 "match_all."
             )
             return
-        t0 = time.time()
+        t0, d0 = time.time(), self.device_seconds
         self.clear_tracks()
         db = bow.BowDatabase(self.bow_voc.num_words)
         idx_of = {f: i for i, f in enumerate(self.fcids)}
@@ -582,7 +587,7 @@ class SfmPipeline:
             db.insert(fcid, v)
         self.log(f"Matching {len(ids)} image pairs using BoW...")
         self._run_pair_matching(ids)
-        self.timings["match_bow"] = time.time() - t0
+        self._stage_mark("match_bow", t0, d0)
         self._report_pair_matching(ids)
         self._save_cache("matches")
 
@@ -1022,7 +1027,7 @@ class SfmPipeline:
 
     def optimize(self):
         """Bundle adjustment stage (sfm.cpp:1883-1925)."""
-        t0 = time.time()
+        t0, d0 = time.time(), self.device_seconds
         num_obs = sum(len(l.obs) for l in self.landmarks.values())
         num_new = (
             len(self.cameras)
@@ -1070,8 +1075,7 @@ class SfmPipeline:
                 iterations=res.iterations + res2.iterations,
                 initial_cost=res.initial_cost,
             )
-        self.timings.setdefault("ba", 0.0)
-        self.timings["ba"] += time.time() - t0
+        self._stage_mark("ba", t0, d0, accumulate=True)
         self.timings["ba_iters"] = self.timings.get("ba_iters", 0) + int(
             res.iterations
         )
@@ -1275,10 +1279,22 @@ class SfmPipeline:
     # ----------------------------------------------------------- state machine
 
     def _timed(self, name, fn, *args, **kwargs):
-        t0 = time.time()
+        t0, d0 = time.time(), self.device_seconds
         out = fn(*args, **kwargs)
-        self.timings[name] = self.timings.get(name, 0.0) + (time.time() - t0)
+        self._stage_mark(name, t0, d0, accumulate=True)
         return out
+
+    def _stage_mark(self, name, t0, d0, accumulate=False):
+        """Record a stage's wall and device-block seconds (host = wall -
+        device); ``accumulate`` adds to any prior total for the stage."""
+        dt = time.time() - t0
+        dd = self.device_seconds - d0
+        if accumulate:
+            self.timings[name] = self.timings.get(name, 0.0) + dt
+            self.timings_dev[name] = self.timings_dev.get(name, 0.0) + dd
+        else:
+            self.timings[name] = dt
+            self.timings_dev[name] = dd
 
     def _maybe_reload_params(self):
         """Headless analog of the reference's live-tunable Pangolin

@@ -182,3 +182,46 @@ def test_export_pipeline_map(tmp_path):
     assert out["corners"][(0, 0)]["uv"].shape == (3, 2)  # padded slots cut
     assert out["landmarks"][3]["inv_depth"] == 0.5
     assert out["cameras"][(0, 0)][0] == 1.0
+
+
+def test_bow_db_json_golden_and_round_trip(tmp_path):
+    """The BowDatabase inverted-index JSON format (bow_db.h:99-124):
+    load the golden file written by the reference's own
+    cereal::JSONOutputArchive (refbaseline/bow_db_golden.cpp), check the
+    exact postings, and verify our writer round-trips through both our
+    reader and structural JSON equality."""
+    import json
+    import os
+
+    from photometric_bundle_adjustment_tpu.features.bow import BowDatabase
+    from photometric_bundle_adjustment_tpu.io import cereal_io
+
+    golden = os.path.join(
+        os.path.dirname(__file__), "..", "refbaseline", "artifacts",
+        "bow_db_golden.json",
+    )
+    idx = cereal_io.load_bow_db_json(golden)
+    assert idx[3] == [((0, 0), 0.25), ((1, 1), 0.125)]
+    assert idx[17] == [((2, 0), 0.0625)]
+    assert idx[123456] == [((41, 0), 0.5), ((41, 1), 0.03125),
+                           ((7, 0), 1.0)]
+
+    # writer round-trip through BowDatabase.save/load
+    db = BowDatabase(200000)
+    db.index = idx
+    out = tmp_path / "db.json"
+    db.save(str(out))
+    db2 = BowDatabase(200000)
+    db2.load(str(out))
+    assert db2.index == idx
+
+    # structural equality with the reference's own bytes (item order in
+    # the unordered_map is container-dependent, so compare as sets)
+    ours = json.load(open(out))
+    ref = json.load(open(golden))
+    key = lambda item: item["key"]
+    assert sorted(ours["value0"], key=key) == sorted(ref["value0"], key=key)
+
+    # a loaded database must keep scoring: query for an inserted vector
+    res = db2.query({3: 0.25}, 5)
+    assert res and res[0][0] == (0, 0)
