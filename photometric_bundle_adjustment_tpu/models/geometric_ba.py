@@ -171,26 +171,38 @@ def build_problem(
     fixed_cams: jax.Array,     # (K,) bool
     lm_valid: jax.Array | None = None,
 ) -> ba.BAProblem:
+    import numpy as _np
+
+    def _cast(x, dt_jax, dt_np):
+        # numpy inputs stay numpy: the incremental pipeline builds its
+        # problems host-side so bundle_adjustment's densify reorder runs
+        # without a device->host fetch per array (round-4 host profile:
+        # ~58 s/run of tunnel fetches); jit canonicalizes the single
+        # upload at dispatch
+        if isinstance(x, jax.Array):
+            return jnp.asarray(x, dt_jax)
+        return _np.asarray(x, dt_np)
+
     if lm_valid is None:
-        lm_valid = jnp.ones(inv_depth.shape, bool)
+        lm_valid = _np.ones(_np.shape(inv_depth), bool)
     obs = ba.BAObservations(
-        anchor_cam=jnp.asarray(anchor_cam, jnp.int32),
-        target_cam=jnp.asarray(target_cam, jnp.int32),
-        landmark=jnp.asarray(landmark, jnp.int32),
+        anchor_cam=_cast(anchor_cam, jnp.int32, _np.int32),
+        target_cam=_cast(target_cam, jnp.int32, _np.int32),
+        landmark=_cast(landmark, jnp.int32, _np.int32),
         aux=GeometricObs(
             uv_target=uv_target,
             uv_ref=uv_ref,
             intr_ref=intr_ref,
             intr_target=intr_target,
         ),
-        valid=jnp.asarray(valid, inv_depth.dtype),
+        valid=_cast(valid, inv_depth.dtype, inv_depth.dtype),
     )
     return ba.BAProblem(
         cam_states=poses,
         inv_depth=inv_depth,
         obs=obs,
-        fixed_cams=jnp.asarray(fixed_cams, bool),
-        lm_valid=jnp.asarray(lm_valid, bool),
+        fixed_cams=_cast(fixed_cams, bool, bool),
+        lm_valid=_cast(lm_valid, bool, bool),
     )
 
 

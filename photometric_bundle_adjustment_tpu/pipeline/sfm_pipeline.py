@@ -154,6 +154,62 @@ def _localize_kernel(model, uv, intr, points, valid, key,
 
 
 
+def outlier_policy(tid_k: np.ndarray, fl: np.ndarray):
+    """Vectorised outlier-removal policy over the contiguous per-track
+    observation rows (sfm.cpp:2028-2131 scan loop): scan each track's
+    records in insertion order; the first record that triggers removal
+    decides the counter (per-record priority huge > normal > distance >
+    z; normal triggers removal only when no severe flag exists anywhere).
+    Returns (removed_tids, n_huge, n_normal, n_dist, n_z, any_severe) —
+    bit-identical to the scalar loop (tests/test_pipeline.py runs a
+    randomized differential check against the scalar oracle)."""
+    n_normal = n_huge = n_dist = n_z = 0
+    removed: list = []
+    any_severe = bool(np.any(fl & ~OUTLIER_REPROJECTION_NORMAL))
+    m = len(fl)
+    if m:
+        HUGE = OUTLIER_REPROJECTION_HUGE
+        NORM = OUTLIER_REPROJECTION_NORMAL
+        DIST = OUTLIER_CAMERA_DISTANCE
+        ZC = OUTLIER_Z_COORDINATE
+        starts = np.flatnonzero(np.r_[True, tid_k[1:] != tid_k[:-1]])
+        seg_len = np.diff(np.r_[starts, m])
+        seg_tids = tid_k[starts]
+        stop_bits = (HUGE | DIST | ZC) if any_severe else (
+            HUGE | NORM | DIST | ZC
+        )
+        pos = np.arange(m)
+        stop_pos = np.where((fl & stop_bits) != 0, pos, m)
+        first_stop = np.minimum.reduceat(stop_pos, starts)
+        has_stop = first_stop < m
+        cfl = fl[np.minimum(first_stop, m - 1)]
+        cause_huge = has_stop & ((cfl & HUGE) != 0)
+        rest = has_stop & ~cause_huge
+        if any_severe:
+            cause_dist = rest & ((cfl & DIST) != 0)
+            cause_z = rest & ~cause_dist & ((cfl & ZC) != 0)
+            # normal_counted: a NORMAL record seen strictly before the
+            # stop, or on the stop record itself unless the scan broke at
+            # its huge check first
+            fs_exp = np.repeat(first_stop, seg_len)
+            ch_exp = np.repeat(cause_huge, seg_len)
+            elig = ((fl & NORM) != 0) & (
+                (pos < fs_exp) | ((pos == fs_exp) & ~ch_exp)
+            )
+            n_normal = int(np.logical_or.reduceat(elig, starts).sum())
+        else:
+            cause_norm = rest & ((cfl & NORM) != 0)
+            cause_dist = rest & ~cause_norm & ((cfl & DIST) != 0)
+            cause_z = (rest & ~cause_norm & ~cause_dist
+                       & ((cfl & ZC) != 0))
+            n_normal = int(cause_norm.sum())
+        n_huge = int(cause_huge.sum())
+        n_dist = int(cause_dist.sum())
+        n_z = int(cause_z.sum())
+        removed = [int(t) for t in seg_tids[has_stop]]
+    return removed, n_huge, n_normal, n_dist, n_z, any_severe
+
+
 class SfmPipeline:
     def __init__(self, images: dict, calib, cfg: SfmConfig = SfmConfig(),
                  cache_dir: str | None = None, seed: int = 0,
@@ -350,12 +406,15 @@ class SfmPipeline:
             uv_np = uv_np[:, :Fc]
             valid_np = valid_np[:, :Fc]
             desc_np = desc_np[:, :Fc]
-        uv = jnp.asarray(uv_np)
-        valid = jnp.asarray(valid_np)
-        desc = jnp.asarray(desc_np)
         cam_ids = np.array([c for (_, c) in self.fcids])
-        intr = jnp.asarray(self.calib.intrinsics)[cam_ids]  # (I, 8)
-        bear = cam_models.unproject_unit(self.model, intr[:, None, :], uv)
+        with self._dev():   # upload + bearing kernel (and its compile)
+            uv = jnp.asarray(uv_np)
+            valid = jnp.asarray(valid_np)
+            desc = jnp.asarray(desc_np)
+            intr = jnp.asarray(self.calib.intrinsics)[cam_ids]  # (I, 8)
+            bear = cam_models.unproject_unit(
+                self.model, intr[:, None, :], uv
+            )
         self._stacked = (uv, valid, desc, bear)
         return self._stacked
 
@@ -364,13 +423,14 @@ class SfmPipeline:
         (sfm.cpp:1217-1272)."""
         t0, d0 = time.time(), self.device_seconds
         self.clear_tracks()
-        T_0_1 = np.asarray(
-            se3.compose(
-                se3.inverse(jnp.asarray(self.calib.T_i_c[0])),
-                jnp.asarray(self.calib.T_i_c[1]),
+        with self._dev():   # tiny kernels, but first call pays their jit
+            T_0_1 = np.asarray(
+                se3.compose(
+                    se3.inverse(jnp.asarray(self.calib.T_i_c[0])),
+                    jnp.asarray(self.calib.T_i_c[1]),
+                )
             )
-        )
-        E = geometry.essential_from_pose(jnp.asarray(T_0_1))
+            E = geometry.essential_from_pose(jnp.asarray(T_0_1))
         num_matches = 0
         num_inliers = 0
         self.log(f"Matching {self.num_frames} stereo pairs...")
@@ -1001,27 +1061,27 @@ class SfmPipeline:
         fixed[len(cam_list):] = True  # padding cameras held fixed
         lm_valid = np.arange(L) < len(lm_list)
 
+        # everything stays HOST-side numpy: bundle_adjustment's densify
+        # step reorders on the host, so uploading here would mean a
+        # device->host fetch per array per solve over the tunnel (the
+        # round-4 host profile measured those fetches at ~58 s/run);
+        # build_problem preserves numpy inputs and the single upload
+        # happens when the reordered problem enters the jitted solve
         problem = geometric_ba.build_problem(
-            poses=jnp.asarray(poses),
-            inv_depth=jnp.asarray(rho),
+            poses=np.asarray(poses),
+            inv_depth=np.asarray(rho),
             anchor_cam=parr(oa, ()) if oa else np.zeros(O, np.int32),
             target_cam=parr(oc, ()) if oc else np.zeros(O, np.int32),
             landmark=parr(ol, ()) if ol else np.zeros(O, np.int32),
-            uv_target=jnp.asarray(
-                parr(np.asarray(uv_t).reshape(-1, 2), (2,))
-                if len(uv_t) else np.zeros((O, 2))
-            ),
-            uv_ref=jnp.asarray(
-                parr(np.asarray(uv_r).reshape(-1, 2), (2,))
-                if len(uv_r) else np.zeros((O, 2))
-            ),
-            intr_ref=jnp.asarray(intr_tab[parr(ir, ()) if ir else np.zeros(O, int)]),
-            intr_target=jnp.asarray(
-                intr_tab[parr(it, ()) if it else np.zeros(O, int)]
-            ),
-            valid=jnp.asarray(valid, bool),
-            fixed_cams=jnp.asarray(fixed),
-            lm_valid=jnp.asarray(lm_valid),
+            uv_target=(parr(np.asarray(uv_t).reshape(-1, 2), (2,))
+                       if len(uv_t) else np.zeros((O, 2))),
+            uv_ref=(parr(np.asarray(uv_r).reshape(-1, 2), (2,))
+                    if len(uv_r) else np.zeros((O, 2))),
+            intr_ref=intr_tab[parr(ir, ()) if ir else np.zeros(O, int)],
+            intr_target=intr_tab[parr(it, ()) if it else np.zeros(O, int)],
+            valid=valid,
+            fixed_cams=fixed,
+            lm_valid=lm_valid,
         )
         return problem, cam_list, lm_list
 
@@ -1145,9 +1205,41 @@ class SfmPipeline:
 
     # ------------------------------------------------------------- outliers
 
+    @property
+    def image_projections(self) -> dict:
+        """Per-image projection records {fcid: {"obs": [...],
+        "outlier_obs": [...]}} for the overlay renderers
+        (utils/visualize.py).  Materialised LAZILY from the arrays of the
+        last ``compute_projections`` call: building ~29k per-row dicts on
+        every outlier pass cost ~20 s host per full run (round-4
+        profile) and only the visualizer reads them."""
+        if self._image_projections is None:
+            d: dict = {}
+            if getattr(self, "_proj_data", None) is not None:
+                rows, uv_proj, err, flags = self._proj_data
+                for i, (tid, fcid, feat, is_outlier) in enumerate(rows):
+                    rec = {
+                        "fcid": fcid, "err": float(err[i]),
+                        "flags": int(flags[i]), "uv_proj": uv_proj[i],
+                    }
+                    d.setdefault(fcid, {"obs": [], "outlier_obs": []})
+                    key = "outlier_obs" if is_outlier else "obs"
+                    d[fcid][key].append(rec)
+            self._image_projections = d
+        return self._image_projections
+
+    @image_projections.setter
+    def image_projections(self, v):
+        self._image_projections = v
+        self._proj_data = None
+
     def compute_projections(self):
         """Batched reprojection of every observation, with outlier flags
-        (compute_projections + set_outlier_flags, sfm.cpp:1928-2008)."""
+        (compute_projections + set_outlier_flags, sfm.cpp:1928-2008).
+
+        Returns ``(rows, err, flags)`` arrays for the vectorised outlier
+        policy; the per-image record dicts are built lazily (see
+        ``image_projections``)."""
         self.image_projections = {}
         rows = []  # (tid, fcid, feat, is_outlier_obs)
         for tid, lm in self.landmarks.items():
@@ -1156,7 +1248,7 @@ class SfmPipeline:
             for fcid, feat in lm.outlier_obs.items():
                 rows.append((tid, fcid, feat, True))
         if not rows:
-            return {}
+            return None
         tids = [r[0] for r in rows]
         p_w = self.landmark_positions(tids)  # batched get_p per row's landmark
         uvf, off = self._uv_table()
@@ -1203,55 +1295,38 @@ class SfmPipeline:
             OUTLIER_Z_COORDINATE, 0,
         )
 
-        track_proj: dict = {}
-        for i, (tid, fcid, feat, is_outlier) in enumerate(rows):
-            rec = {
-                "fcid": fcid, "err": float(err[i]), "flags": int(flags[i]),
-                "uv_proj": np.asarray(uv_proj[i]),
-            }
-            self.image_projections.setdefault(fcid, {"obs": [], "outlier_obs": []})
-            if is_outlier:
-                self.image_projections[fcid]["outlier_obs"].append(rec)
-            else:
-                self.image_projections[fcid]["obs"].append(rec)
-                track_proj.setdefault(tid, []).append(rec)
-        return track_proj
+        self._proj_data = (rows, uv_proj, err, flags)
+        self._image_projections = None
+        return rows, err, flags
 
     def remove_outlier_landmarks(self):
-        """Outlier taxonomy + removal policy (sfm.cpp:2028-2131)."""
-        track_proj = self.compute_projections()
-        n_normal = n_huge = n_dist = n_z = 0
-        any_severe = any(
-            rec["flags"] & ~OUTLIER_REPROJECTION_NORMAL
-            for recs in track_proj.values()
-            for rec in recs
-        )
-        removed = []
-        for tid, recs in track_proj.items():
-            remove = False
-            normal_counted = False
-            for rec in recs:
-                if rec["flags"] & OUTLIER_REPROJECTION_HUGE:
-                    n_huge += 1
-                    remove = True
-                    break
-                if rec["flags"] & OUTLIER_REPROJECTION_NORMAL:
-                    if not normal_counted:
-                        n_normal += 1
-                        normal_counted = True
-                    if not any_severe:
-                        remove = True
-                        break
-                if rec["flags"] & OUTLIER_CAMERA_DISTANCE:
-                    remove = True
-                    n_dist += 1
-                    break
-                if rec["flags"] & OUTLIER_Z_COORDINATE:
-                    remove = True
-                    n_z += 1
-                    break
-            if remove:
-                removed.append(tid)
+        """Outlier taxonomy + removal policy (sfm.cpp:2028-2131).
+
+        Vectorised re-statement of the reference's per-track scan loop:
+        each track's (non-outlier) observation records are scanned in
+        insertion order; the first record that triggers removal decides
+        the counter (per-record priority huge > normal > distance > z,
+        with normal triggering removal only when no severe flag exists
+        anywhere).  Implemented as numpy segment reductions over the
+        contiguous per-landmark row groups of ``compute_projections`` —
+        the per-row dict scan cost ~20 s host per full run (round-4
+        profile); counters and log strings are bit-identical to the
+        scalar loop (the reference-matching regression oracle)."""
+        res = self.compute_projections()
+        if res is None:
+            removed, n_huge, n_normal, n_dist, n_z, any_severe = (
+                [], 0, 0, 0, 0, False
+            )
+        else:
+            rows, err, flags = res
+            n = len(rows)
+            keep = ~np.fromiter((r[3] for r in rows), bool, n)
+            (removed, n_huge, n_normal, n_dist, n_z, any_severe) = (
+                outlier_policy(
+                    np.fromiter((r[0] for r in rows), np.int64, n)[keep],
+                    flags[keep],
+                )
+            )
         for tid in removed:
             if tid in self.tracks:
                 self.outlier_tracks[tid] = self.tracks.pop(tid)

@@ -85,7 +85,7 @@ def run_one(K, L, obs_per_lm, mode, iters=2):
     t_prep = time.time() - t0
     dsolve = dist_fused.make_distributed_fused_solver(
         res_fn, geometric_ba.cam_retract, 6, mesh,
-        camera_partition=(mode == "partitioned"), n_cg=150, cg_tol=1e-7,
+        camera_partition=(mode == "partitioned"), n_cg=300, cg_tol=1e-7,
     )
     t0 = time.time()
     p, r = dsolve(sharded, cfg)

@@ -68,10 +68,16 @@ def test_pipeline_completes(mini_pipeline):
 
 def test_pipeline_reprojection_quality(mini_pipeline):
     pipe = mini_pipeline
-    track_proj = pipe.compute_projections()
-    errs = [rec["err"] for recs in track_proj.values() for rec in recs]
-    assert len(errs) > 0
-    assert float(np.mean(errs)) < 3.0, f"mean reprojection {np.mean(errs)}px"
+    rows, err, flags = pipe.compute_projections()
+    inlier = ~np.fromiter((r[3] for r in rows), bool, len(rows))
+    assert inlier.sum() > 0
+    mean_err = float(np.mean(err[inlier]))
+    assert mean_err < 3.0, f"mean reprojection {mean_err}px"
+    # lazy per-image records must agree with the arrays
+    proj = pipe.image_projections
+    errs2 = [rec["err"] for d in proj.values() for rec in d["obs"]]
+    assert len(errs2) == int(inlier.sum())
+    assert abs(float(np.mean(errs2)) - mean_err) < 1e-9
 
 
 @pytest.mark.slow
@@ -200,3 +206,80 @@ def test_params_file_live_reload(tmp_path):
     pipe._maybe_reload_params()
     assert any("not reloaded" in s for s in logs)
     assert pipe.cfg.feature_match_max_dist == 50
+
+
+def test_outlier_policy_matches_scalar_oracle():
+    """The vectorised outlier policy (pipeline.sfm_pipeline.outlier_policy)
+    must be bit-identical to the reference's per-track scan loop
+    (sfm.cpp:2028-2131) — counters feed reference-matching log strings."""
+    import numpy as np
+
+    from photometric_bundle_adjustment_tpu.pipeline.sfm_pipeline import (
+        OUTLIER_CAMERA_DISTANCE,
+        OUTLIER_REPROJECTION_HUGE,
+        OUTLIER_REPROJECTION_NORMAL,
+        OUTLIER_Z_COORDINATE,
+        outlier_policy,
+    )
+
+    def oracle(tid_k, fl):
+        # the original scalar loop, verbatim semantics
+        track = {}
+        for t, f in zip(tid_k.tolist(), fl.tolist()):
+            track.setdefault(t, []).append(f)
+        any_severe = any(
+            f & ~OUTLIER_REPROJECTION_NORMAL
+            for fs in track.values() for f in fs
+        )
+        n_normal = n_huge = n_dist = n_z = 0
+        removed = []
+        for tid, fs in track.items():
+            remove = False
+            normal_counted = False
+            for f in fs:
+                if f & OUTLIER_REPROJECTION_HUGE:
+                    n_huge += 1
+                    remove = True
+                    break
+                if f & OUTLIER_REPROJECTION_NORMAL:
+                    if not normal_counted:
+                        n_normal += 1
+                        normal_counted = True
+                    if not any_severe:
+                        remove = True
+                        break
+                if f & OUTLIER_CAMERA_DISTANCE:
+                    remove = True
+                    n_dist += 1
+                    break
+                if f & OUTLIER_Z_COORDINATE:
+                    remove = True
+                    n_z += 1
+                    break
+            if remove:
+                removed.append(tid)
+        return removed, n_huge, n_normal, n_dist, n_z, any_severe
+
+    rng = np.random.default_rng(0)
+    for trial in range(200):
+        n_tracks = int(rng.integers(1, 30))
+        rows_t, rows_f = [], []
+        for t in range(n_tracks):
+            for _ in range(int(rng.integers(1, 8))):
+                rows_t.append(t * 7 + 3)
+                # bias towards clean rows; occasionally force the
+                # all-normal (not any_severe) regime
+                if trial % 3 == 0:
+                    f = int(rng.choice([0, 0, 0, 2]))
+                else:
+                    f = int(rng.integers(0, 16)) if rng.random() < 0.3 else 0
+                rows_f.append(f)
+        tid_k = np.asarray(rows_t, np.int64)
+        fl = np.asarray(rows_f, np.int32)
+        got = outlier_policy(tid_k, fl)
+        want = oracle(tid_k, fl)
+        assert got == want, (trial, got, want)
+
+    # empty input
+    assert outlier_policy(np.zeros(0, np.int64), np.zeros(0, np.int32)) \
+        == ([], 0, 0, 0, 0, False)
