@@ -293,17 +293,24 @@ def build_geo_dense(model: str, problem: ba.BAProblem, consts, plan,
     H_pp = red0[:, 12]
     g_p = A1r[:, 12].reshape(S_, L).sum(0)
 
-    oh_an = jax.nn.one_hot(plan.obs_anchor_cam, K, dtype=dtype)
-    oh_tn = jax.nn.one_hot(plan.obs_target_cam, K, dtype=dtype)
-    g_c = oh_an.T @ A1r[:, :C] + oh_tn.T @ A1r[:, C:2 * C]
+    # camera-indexed lifts as compare+multiply+reduce (not one-hot
+    # matmuls): XLA fuses the one-hot generation into the reduction and
+    # never writes the (O, K)/(S, L, K) lift slabs to HBM; exact f32
+    # (see optim/fused.py build_dense, same rewrite)
+    iot = jnp.arange(K, dtype=jnp.int32)
+    man = (jnp.asarray(plan.obs_anchor_cam)[:, None] == iot).astype(dtype)
+    mtn = (jnp.asarray(plan.obs_target_cam)[:, None] == iot).astype(dtype)
+    g_c = (jnp.sum(man[:, :, None] * A1r[:, None, :C], axis=0)
+           + jnp.sum(mtn[:, :, None] * A1r[:, None, C:2 * C], axis=0))
 
     lm_mask = problem.lm_valid.astype(dtype)
     inv0 = lm_mask / jnp.maximum(H_pp, cfg.min_inv_depth_hessian)
     vt_sl = A0r[:, :, C:2 * C]                          # (S, L, C)
-    oh = jax.nn.one_hot(plan.lm_cam, K, dtype=dtype)
-    M = jnp.einsum("slk,slc->lkc", oh, vt_sl).reshape(L, K * C)
-    oh_a = jax.nn.one_hot(plan.anchor_cam_of_lm, K, dtype=dtype)
-    M = M + (oh_a[:, :, None] * anchor_v[:, None, :]).reshape(L, K * C)
+    msk = (jnp.asarray(plan.lm_cam)[:, :, None] == iot).astype(dtype)
+    M = jnp.sum(msk[..., None] * vt_sl[:, :, None, :], axis=0)
+    amsk = (jnp.asarray(plan.anchor_cam_of_lm)[:, None] == iot
+            ).astype(dtype)
+    M = (M + amsk[:, :, None] * anchor_v[:, None, :]).reshape(L, K * C)
 
     S_corr0, rhs_corr0 = _schur_corr(M, g_p, inv0, cfg)
     H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C, K * C)

@@ -360,25 +360,31 @@ def _make_dense_fused_ba_solver(
         H_pp = red0[:, 2 * C]
         g_p = A1[: S_ * L, 2 * C].reshape(S_, L).sum(0)
 
-        # g_c via one-hot matmuls (anchor-role + target-role rows); padding
-        # rows carry camera id K -> zero one-hot row
-        oh_an = jax.nn.one_hot(plan.obs_anchor_cam, K, dtype=dtype)
-        oh_tn = jax.nn.one_hot(plan.obs_target_cam, K, dtype=dtype)
+        # g_c and the dense per-landmark coupling M are camera-indexed
+        # lifts; express them as compare+multiply+reduce instead of
+        # one-hot matmuls so XLA fuses the one-hot GENERATION into the
+        # reduction kernel and never writes the (O, K) / (S, L, K) lift
+        # slabs to HBM (the plane-layout analysis, ops/geo_mega.py,
+        # showed the build bandwidth-bound exactly on those
+        # materialisations; f32-precision dots also tripled the matmul
+        # passes).  Padding rows carry camera id K, which matches no
+        # iota lane and vanishes — same as the zero one-hot row.
+        iot = jnp.arange(K, dtype=jnp.int32)
         Av = A1[: S_ * L]
-        g_c = oh_an.T @ Av[:, :C] + oh_tn.T @ Av[:, C : 2 * C]  # (K, C)
+        man = (plan.obs_anchor_cam[:, None] == iot).astype(dtype)
+        mtn = (plan.obs_target_cam[:, None] == iot).astype(dtype)
+        g_c = (
+            jnp.sum(man[:, :, None] * Av[:, None, :C], axis=0)
+            + jnp.sum(mtn[:, :, None] * Av[:, None, C : 2 * C], axis=0)
+        )                                              # (K, C)
 
-        # dense per-landmark coupling matrix M (L, K*C): target couplings
-        # lifted into their camera blocks by a one-hot einsum over the
-        # slots, plus the anchor coupling as an outer product.
-        # one_hot(K, K) == 0, so padding slots and anchorless landmarks
-        # vanish.
         lm_mask = problem.lm_valid.astype(dtype)
         inv0 = lm_mask / jnp.maximum(H_pp, cfg.min_inv_depth_hessian)
         vt_sl = A0s[:, :, C : 2 * C]                    # (S, L, C)
-        oh = jax.nn.one_hot(plan.lm_cam, K, dtype=dtype)  # (S, L, K)
-        M = jnp.einsum("slk,slc->lkc", oh, vt_sl).reshape(L, K * C)
-        oh_a = jax.nn.one_hot(plan.anchor_cam_of_lm, K, dtype=dtype)
-        M = M + (oh_a[:, :, None] * anchor_v[:, None, :]).reshape(L, K * C)
+        msk = (plan.lm_cam[:, :, None] == iot).astype(dtype)  # virt (S,L,K)
+        M = jnp.sum(msk[..., None] * vt_sl[:, :, None, :], axis=0)
+        amsk = (plan.anchor_cam_of_lm[:, None] == iot).astype(dtype)
+        M = (M + amsk[:, :, None] * anchor_v[:, None, :]).reshape(L, K * C)
 
         # Schur correction and rhs correction as dense MXU products.  The
         # big Gram matmul optionally runs at HIGH (bf16x3) precision —
