@@ -56,10 +56,12 @@ def trajectory_from_cameras(cameras: dict, cam_id: int = 0) -> np.ndarray:
 
 def reprojection_stats(pipe) -> dict:
     """Summary statistics over all inlier observations of a pipeline map."""
-    track_proj = pipe.compute_projections()
-    errs = np.array(
-        [rec["err"] for recs in track_proj.values() for rec in recs]
-    )
+    res = pipe.compute_projections()
+    if res is None:
+        return {"count": 0}
+    rows, err, _flags = res
+    inlier = ~np.fromiter((r[3] for r in rows), bool, len(rows))
+    errs = np.asarray(err)[inlier]
     if len(errs) == 0:
         return {"count": 0}
     return {
