@@ -53,25 +53,50 @@ def build_step(dtype, use_manual_jac: bool, host_plan: bool = False,
         max_iterations=1, huber_delta=1.0,
         schur_matmul_precision="highest" if host_plan else "high",
     )
-    rj = geometric_ba.make_rj_fn("pinhole") if use_manual_jac else None
-    solver = fused.make_fused_ba_solver(
-        geometric_ba.make_residual_fn("pinhole"), geometric_ba.cam_retract, 6,
-        rj_fn=rj,
-    )
     # fixed observation graph -> tight (non-pow2) plan bucketing: the
     # benchmark compiles once, so recompile-bounded padding buys nothing.
     # On accelerators the landmark-dense layout replaces every landmark-axis
     # gather/scatter with a reshape + dense sum.
     if host_plan:
+        rj = geometric_ba.make_rj_fn("pinhole") if use_manual_jac else None
+        solver = fused.make_fused_ba_solver(
+            geometric_ba.make_residual_fn("pinhole"),
+            geometric_ba.cam_retract, 6, rj_fn=rj,
+        )
         plan = fused.plan_for_problem(problem, host=True, pow2_buckets=False)
-    else:
-        problem, plan = fused.densify_problem(problem, pow2_buckets=False)
+
+        def lm_step(problem):
+            with jax.default_matmul_precision("float32"):
+                cost, neq = solver.build(problem, plan, cfg)
+                dc, dp = solver.solve_lam(
+                    neq, plan, jnp.asarray(1e-4, problem.inv_depth.dtype),
+                    ~problem.fixed_cams, cfg,
+                )
+                new_cams = jax.vmap(geometric_ba.cam_retract)(
+                    problem.cam_states, dc
+                )
+                return problem._replace(
+                    cam_states=new_cams, inv_depth=problem.inv_depth + dp
+                ), cost
+
+        return lm_step, problem
+
+    # accelerator path (round 5): the plane-native geo_mega v2 assembly —
+    # payload plane consumed directly by every reduction, scaled transposed
+    # Schur coupling, masked pair-Gram (ops/geo_mega.build_geo_dense2)
+    from photometric_bundle_adjustment_tpu.ops import geo_mega
+
+    problem, plan = fused.densify_problem(problem, pow2_buckets=False)
+    geo = geo_mega.make_geo_solver("pinhole", problem, plan_slot=plan)
+    consts = geo.consts
 
     def lm_step(problem):
         with jax.default_matmul_precision("float32"):
-            cost, neq = solver.build(problem, plan, cfg)
-            dc, dp = solver.solve_lam(
-                neq, plan, jnp.asarray(1e-4, problem.inv_depth.dtype),
+            cost, neq = geo_mega.build_geo_dense2(
+                "pinhole", problem, consts, plan, cfg
+            )
+            dc, dp = geo_mega.solve_lam2(
+                neq, jnp.asarray(1e-4, problem.inv_depth.dtype),
                 ~problem.fixed_cams, cfg,
             )
             new_cams = jax.vmap(geometric_ba.cam_retract)(

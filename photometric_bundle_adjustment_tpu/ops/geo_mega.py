@@ -91,21 +91,32 @@ def build_geo_plan(problem: ba.BAProblem, **kwargs) -> SchurPlan:
     )
 
 
-def _warp_geo(model: str, cam_states, inv_depth, consts):
+def _warp_geo(model: str, cam_states, inv_depth, consts, slots=None):
     """Plane-layout warp + projection + Jacobian coefficient slabs.
 
     Same ray-form chain as pba_mega.warp_slabs with a single center pixel
     (P = 1); returns (ux, uy, GA, GB) with GA/GB the (13, O) slabs
     dpi_{u,v}/dtheta.  Projections are NOT finite-masked: parity with the
     vmapped rj path (optim/fused._scaled_jacobians) requires the raw
-    values to flow into the residual."""
+    values to flow into the residual.
+
+    ``slots``: when the observation rows are slot-major landmark-dense
+    (row s*L + l belongs to landmark l), pass S — the landmark-state
+    lookup becomes a broadcast instead of a gather (the 1-D gather
+    XLA emits for it otherwise costs ~0.35 ms at 49k observations)."""
     poses = cam_states                                  # (K, 7) for the
     #                                                     geometric problem
     pa = poses[consts["an"]]                            # (O, 7)
     pc = poses[consts["tn"]]
-    lmstate = jnp.pad(inv_depth[:, None], ((0, 0), (0, 7)))
-    lmrows = jax.lax.optimization_barrier(lmstate[consts["lm"]])
-    rho = lmrows[:, 0][None, :]                         # (1, O)
+    if slots is not None:
+        L = inv_depth.shape[0]
+        rho = jnp.broadcast_to(
+            inv_depth[None, :], (slots, L)
+        ).reshape(1, slots * L)                         # (1, O)
+    else:
+        lmstate = jnp.pad(inv_depth[:, None], ((0, 0), (0, 7)))
+        lmrows = jax.lax.optimization_barrier(lmstate[consts["lm"]])
+        rho = lmrows[:, 0][None, :]                     # (1, O)
     Ra = pba_mega._rot_planes(pa[:, 3:7])
     Rc = pba_mega._rot_planes(pc[:, 3:7])
     M = [[sum(Rc[i][j] * Ra[i][c_] for i in range(3))[None, :]
@@ -139,12 +150,12 @@ def _warp_geo(model: str, cam_states, inv_depth, consts):
 
 
 def _geo_payload(model: str, problem: ba.BAProblem, consts,
-                 cfg: ba.BAConfig):
+                 cfg: ba.BAConfig, slots=None):
     """Plane-layout residual/Jacobian/payload evaluation; returns
     ``(cost, plane)`` with plane the (55, O) slab of the module
     docstring's packing (pre-transpose)."""
     ux, uy, GA, GB = _warp_geo(
-        model, problem.cam_states, problem.inv_depth, consts
+        model, problem.cam_states, problem.inv_depth, consts, slots=slots
     )
 
     vb = consts["valid"][None, :]                       # (1, O) bool
@@ -317,27 +328,172 @@ def build_geo_dense(model: str, problem: ba.BAProblem, consts, plan,
     return cost, (H_cc_mat, S_corr0, rhs_corr0, H_pp, g_c, g_p, M, inv0)
 
 
+def build_geo_dense2(model: str, problem: ba.BAProblem, consts, plan,
+                     cfg: ba.BAConfig):
+    """Round-5 plane-native dense assembly: every reduction consumes the
+    (55, O) payload plane DIRECTLY (no (O+1, 55) transpose+pad copy — the
+    round-4 marginal-cost profile measured that pad alone at ~0.16 ms and
+    the row-major detour's share of the build at ~0.5 ms):
+
+      * only the 26 Jacobian rows are transposed (for the camera-pair Gram
+        gather, which must gather along observations = sublanes there);
+        dummy chunk slots are handled by a static mask instead of a padded
+        zero row,
+      * landmark reductions are (rows, S, L) reshapes + sums over the slot
+        axis in plane layout,
+      * the Schur coupling is built TRANSPOSED, ``Ms_p (K*C, L)``, and
+        pre-scaled by sqrt(inv0) during the lift — the gram
+        S_corr0 = Ms_p @ Ms_p^T needs no separate (L, K*C) weighted copy
+        (the round-4 ``Mw = M * inv0`` materialisation, ~39 MB of HBM
+        traffic/iteration),
+      * g_c target/anchor contributions ride the same compare-reduce lifts.
+
+    Requires ``consts`` to carry the clamped pair-gather table ``pgc`` and
+    its dummy mask ``pgm`` (added by :func:`make_geo_solver`).  Returns the
+    v2 neq contract consumed by :func:`solve_lam2`:
+    ``(H_cc_mat, S_corr0, rhs_corr0, g_c, g_p, Ms_p, inv0, s)`` with
+    ``s = sqrt(inv0)``.  Parity with :func:`build_geo_dense` is golden-
+    tested (tests/test_geo_mega.py).  Ref: the Ceres SPARSE_SCHUR
+    elimination being replaced, include/visnav/map_utils.h:322-399.
+    """
+    K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
+    L = problem.inv_depth.shape[0]
+    S_ = plan.lm_cam.shape[0]
+    cost, plane = _geo_payload(model, problem, consts, cfg, slots=S_)
+    dtype = plane.dtype
+
+    # H_cc pair-Gram: transpose only the 26 J rows; dummy slots masked
+    rowsJ = plane[:26].T                                # (O, 26)
+    rows = rowsJ[consts["pgc"]] * consts["pgm"][:, :, None]
+    rows2 = rows.reshape(rows.shape[0], -1, 13)[..., :12]
+    G2 = jnp.einsum("nbi,nbj->nij", rows2, rows2)       # (NCp, 12, 12)
+    blocks = jnp.stack(
+        [G2[:, :C, :C], G2[:, :C, C:], G2[:, C:, :C], G2[:, C:, C:]],
+        axis=1,
+    ).reshape(-1, C * C)
+    H_cc = (
+        jnp.zeros((K * K + 1, C * C), dtype)
+        .at[jnp.asarray(plan.cc_rows4).reshape(-1)]
+        .add(blocks)[: K * K]
+        .reshape(K, K, C, C)
+    )
+    H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C, K * C)
+
+    # plane-layout landmark reductions: (rows, S, L) sums over slots
+    A0p = plane[29:42].reshape(13, S_, L)
+    A1p = plane[42:55].reshape(13, S_, L)
+    red0 = A0p.sum(1)                                   # (13, L)
+    anchor_v = red0[:C]                                 # (C, L)
+    H_pp = red0[12]                                     # (L,)
+    a1red = A1p.sum(1)                                  # (13, L)
+    g_p = a1red[12]
+
+    lm_mask = problem.lm_valid.astype(dtype)
+    inv0 = lm_mask / jnp.maximum(H_pp, cfg.min_inv_depth_hessian)
+    s = jnp.sqrt(inv0)                                  # (L,)
+
+    # camera lifts as compare+multiply+reduce (fused one-hot; exact f32 —
+    # einsum would lower these as matmuls whose 3/6-pass bf16 emulation
+    # both costs passes and rounds, see optim/fused.py build_dense).
+    # Padding slots carry camera id K, matching no iota row.  The anchor
+    # contribution rides as one EXTRA virtual slot (consts["lm_cam_ext"]
+    # stacks anchor_cam_of_lm under lm_cam) so the reduce lands directly
+    # in the 2-D (K*C, L) layout — the separate (K, C, L) sum + anchor
+    # add + reshape materialized the 39 MB coupling twice (~0.2 ms).
+    iot = jnp.arange(K, dtype=jnp.int32)
+    msk = (consts["lm_cam_ext"][None] == iot[:, None, None]
+           ).astype(dtype)                              # (K, S+1, L)
+    vt_ext = jnp.concatenate(
+        [A0p[C:2 * C] * s[None, None, :],
+         (anchor_v * s[None, :])[:, None, :]], axis=1,
+    )                                                   # (C, S+1, L)
+    Ms_p = jnp.sum(
+        (msk[:, None] * vt_ext[None]).reshape(K * C, S_ + 1, L), axis=1
+    )                                                   # (K*C, L)
+
+    # g_c through the same extended-slot lift on A1
+    a1_ext = jnp.concatenate(
+        [A1p[C:2 * C], a1red[:C][:, None, :]], axis=1
+    )                                                   # (C, S+1, L)
+    g_c = jnp.sum(msk[:, None] * a1_ext[None], axis=(2, 3))
+
+    if cfg.skip_schur_gram:
+        S_corr0 = None
+    else:
+        prec = (jax.lax.Precision.HIGH
+                if cfg.schur_matmul_precision == "high"
+                else jax.lax.Precision.HIGHEST)
+        S_corr0 = jax.lax.dot_general(
+            Ms_p, Ms_p, (((1,), (1,)), ((), ())), precision=prec
+        )                                               # (K*C, K*C)
+    rhs_corr0 = Ms_p @ (s * g_p)
+    return cost, (H_cc_mat, S_corr0, rhs_corr0, g_c, g_p, Ms_p, inv0, s)
+
+
+def solve_lam2(neq, lam, free_cam_mask, cfg: ba.BAConfig):
+    """Per-lambda dense solve + back-substitution for the v2 neq contract
+    (scaled transposed coupling; no unscaled M needed:
+    (M @ dc) * inv0 == s * (dc @ Ms_p) with s = sqrt(inv0))."""
+    H_cc_mat, S_corr0, rhs_corr0, g_c, g_p, Ms_p, inv0, s = neq
+    KC = H_cc_mat.shape[0]
+    K = free_cam_mask.shape[0]
+    C_ = KC // K
+    dtype = g_c.dtype
+    d_cc = jnp.clip(jnp.diagonal(H_cc_mat), 1e-12, 1e32)
+    S = H_cc_mat + jnp.diag(lam * d_cc) - S_corr0 / (1.0 + lam)
+    rhs = -(g_c.reshape(-1) - rhs_corr0 / (1.0 + lam))
+    mask = jnp.repeat(free_cam_mask.astype(dtype), C_)
+    S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+    cho = jax.scipy.linalg.cho_factor(S, lower=True)
+    delta_c = jax.scipy.linalg.cho_solve(cho, rhs * mask) * mask
+    delta_p = -(g_p * inv0 + s * (delta_c @ Ms_p)) / (1.0 + lam)
+    return delta_c.reshape(K, C_), delta_p
+
+
 def make_geo_solver(model: str, problem: ba.BAProblem,
-                    plan_slot=None, *, pow2_buckets: bool = False):
+                    plan_slot=None, *, pow2_buckets: bool = False,
+                    v2: bool = True):
     """Plane-layout geometric LM build/solve for a fixed observation graph.
 
     With ``plan_slot`` (a DenseLmSchurPlan; ``problem`` must be the
     matching densify_problem output): slot-major dense assembly — the
-    fastest formulation for near-uniform observation counts.  Without it:
-    chunk-plan assembly over the original ragged order.
+    fastest formulation for near-uniform observation counts; ``v2``
+    (default) selects the round-5 plane-native assembly
+    (:func:`build_geo_dense2`).  Without ``plan_slot``: chunk-plan
+    assembly over the original ragged order.
 
     Returns ``solve(problem, cfg) -> (problem, BAResult)`` with
     ``.build`` / ``.solve_lam`` exposed (pba_mega.solve_lam works for any
     camera tangent width)."""
+    import numpy as np
+
     from photometric_bundle_adjustment_tpu.models import geometric_ba
 
+    solve_lam_impl = pba_mega.solve_lam
     if plan_slot is not None:
         cplan = plan_slot
         build_impl = build_geo_dense
+        if v2:
+            build_impl = build_geo_dense2
+            solve_lam_impl = solve_lam2
     else:
         cplan = build_geo_plan(problem, pow2_buckets=pow2_buckets)
         build_impl = build_geo
     consts = build_geo_consts(model, problem)
+    if plan_slot is not None and v2:
+        # static pair-gather table with dummies clamped in-range + a mask
+        # (replaces the (O+1, 55) runtime pad copy of the v1 build)
+        pg = np.asarray(cplan.pg)
+        Opad = int(np.asarray(problem.obs.valid).shape[0])
+        consts["pgc"] = jnp.asarray(
+            np.minimum(pg, Opad - 1).astype(np.int32))
+        consts["pgm"] = jnp.asarray((pg < Opad).astype(np.float32))
+        # target cams per slot with the anchor cam appended as one extra
+        # virtual slot (the extended-slot camera lift, build_geo_dense2)
+        consts["lm_cam_ext"] = jnp.asarray(np.concatenate(
+            [np.asarray(cplan.lm_cam),
+             np.asarray(cplan.anchor_cam_of_lm)[None, :]], axis=0,
+        ).astype(np.int32))
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def _build(problem, consts, cplan, cfg):
@@ -347,7 +503,7 @@ def make_geo_solver(model: str, problem: ba.BAProblem,
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def _solve_lam(neq, lam, free, cfg):
         with jax.default_matmul_precision("float32"):
-            return pba_mega.solve_lam(neq, lam, free, cfg)
+            return solve_lam_impl(neq, lam, free, cfg)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def _solve(problem, consts, cplan, cfg):
@@ -367,7 +523,7 @@ def make_geo_solver(model: str, problem: ba.BAProblem,
 
             def body(state):
                 prob, lam, cost, neq, rejects, iters, tries, done = state
-                dc, dp = pba_mega.solve_lam(neq, lam, free, cfg)
+                dc, dp = solve_lam_impl(neq, lam, free, cfg)
                 p_try = apply_step(prob, dc, dp)
                 cost_try, neq_try = build_impl(
                     model, p_try, consts, cplan, cfg
