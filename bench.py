@@ -192,20 +192,26 @@ def build_pba_step(dtype, use_kernel: bool, sample_bf16: bool = False,
 # ---------------------------------------------------------------------------
 
 # Kernel-invocation counts of the full-parity EuRoC V1 run (164/164
-# cameras, 5577 landmarks, 28999 obs; apps.sfm on data/euroc_V1, seed 0;
+# cameras, 5468 landmarks, 28786 obs; apps.sfm on data/euroc_V1, seed 0;
 # the pipeline prints these as "Kernel invocations: ..." at completion —
-# pipeline/sfm_pipeline.py self.counters).  Measured 2026-08-21,
-# runs/run_r3_1.log (rows = sum over bucket-size counters).
+# pipeline/sfm_pipeline.py self.counters).  Measured 2026-08-22,
+# runs/run_r5_allpairs12.log (rows = sum over bucket-size counters).
+# Round-5 changes: localization runs in batched waves and covers more
+# candidates than the strictly sequential loop (349 vs 252); the
+# landmark-positions kernel is FUSED into the localize/projection kernels
+# (lmpos_rows -> 0); add_new_landmarks batches whole rounds, so rows for
+# tracks later claimed by an earlier camera appear once per camera pair
+# (72.7k raw rows, first-passing-row-wins dedup at insertion).
 EUROC_WORKLOAD = {
     "images": 164,
     "detect_batches": 21,          # 164 images / batch 8
     "match_chunks": 416,           # 13,284 all pairs / chunk 32
     "stereo_chunks": 3,            # 82 stereo pairs / chunk 32
-    "localize_calls_1024": 252,    # PnP attempts at the 1024-row bucket
-    "triangulate_rows": 44_544,    # total bucketed triangulation rows
-    "project_rows": 1_822_208,     # total outlier-pass projection rows
-    "lmpos_rows": 1_887_232,       # total Landmark::get_p rows
-    "ba_iters": 613,               # LM iterations across 74 BA solves
+    "localize_calls_1024": 349,    # PnP attempts at the 1024-row bucket
+    "triangulate_rows": 72_704,    # total bucketed triangulation rows
+    "project_rows": 1_842_432,     # total outlier-pass projection rows
+    "lmpos_rows": 0,               # fused into localize/project kernels
+    "ba_iters": 606,               # LM iterations across 72 BA solves
 }
 
 # Same-stage walls of the UNMODIFIED reference binary on this host (2-core

@@ -36,14 +36,32 @@ def main(argv=None):
     )
     parser.add_argument("--huber-intensity", type=float, default=9.0)
     parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    parser.add_argument(
+        "--distributed", type=int, default=0, metavar="D",
+        help="run the photometric solve landmark-sharded over a D-device "
+             "mesh (parallel/dist_fused.py).  Without D real devices this "
+             "forces a D-fake-device CPU mesh — the standard JAX recipe "
+             "for validating multi-chip sharding on one host.  Runs ONE "
+             "full-resolution distributed solve, cross-checks it against "
+             "the single-device solver, and writes the distributed "
+             "solution to --map-out.",
+    )
     args = parser.parse_args(argv)
 
     import os
 
+    if args.distributed:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.distributed}"
+        ).strip()
+
     import jax
 
-    if args.device == "cpu":
+    if args.device == "cpu" or args.distributed:
         jax.config.update("jax_platforms", "cpu")
+        if args.distributed:
+            jax.config.update("jax_enable_x64", False)
 
     from photometric_bundle_adjustment_tpu.utils.runtime import (
         enable_compilation_cache,
@@ -90,11 +108,20 @@ def main(argv=None):
             f"Geometric SfM done in {time.time() - t0:.1f}s: {pipe.summary()}"
         )
 
-    res = pba_refine.refine_photometric(
-        pipe, max_iterations=args.pba_iterations,
-        huber_delta=args.huber_intensity,
-        sample_bf16=args.sample_bf16,
-    )
+    if args.distributed:
+        res, parity = pba_refine.refine_photometric_distributed(
+            pipe, n_devices=args.distributed,
+            max_iterations=args.pba_iterations,
+            huber_delta=args.huber_intensity,
+        )
+        if parity is not None:
+            print(f"Distributed-vs-single parity: {parity}")
+    else:
+        res = pba_refine.refine_photometric(
+            pipe, max_iterations=args.pba_iterations,
+            huber_delta=args.huber_intensity,
+            sample_bf16=args.sample_bf16,
+        )
 
     with open(args.map_out, "wb") as f:
         pickle.dump(

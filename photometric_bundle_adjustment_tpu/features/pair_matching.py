@@ -21,24 +21,16 @@ from photometric_bundle_adjustment_tpu.features import match, ransac
 from photometric_bundle_adjustment_tpu.parallel.mesh import DATA_AXIS
 
 
-def make_pair_matcher(
-    desc: jax.Array,       # (I, F, 8) uint32
-    valid: jax.Array,      # (I, F) bool
-    bearings: jax.Array,   # (I, F, 3)
-    max_matches: int,
-    match_max_dist: int,
-    match_ratio: float,
-    ransac_thresh: float,
-    ransac_min_inliers: int,
-    ransac_hypotheses: int,
-    mesh: Mesh | None = None,
-):
-    """Returns chunk_fn(i1 (C,), i2 (C,), key) -> per-pair results.
-
-    Outputs: (pairs (C, MM, 2), pair_valid (C, MM), count (C,), T (C, 7),
-    inlier_mask (C, MM), n_inliers (C,)).  With a mesh, inputs/outputs are
-    sharded over the chunk axis.
-    """
+def _pair_chunk_impl(desc, valid, bearings, i1, i2, key, *,
+                     max_matches, match_max_dist, match_ratio,
+                     ransac_thresh, ransac_min_inliers, ransac_hypotheses):
+    """Traced body of one matching chunk.  The feature stacks ride as
+    ARGUMENTS, not closure captures: captured jnp arrays become HLO
+    constants, which bloats the program (~4 MB of literals at EuRoC
+    scale), defeats the persistent compilation cache's cheap reload path,
+    and re-ships the constants on every compile request (measured: a
+    cached closure-constant program still costs ~4x a cached
+    argument-passing one to first-call in a fresh process)."""
     MM = max_matches
 
     def one(a, b, k):
@@ -58,20 +50,118 @@ def make_pair_matcher(
         inl = inl & enough
         return pairs, pvalid, count, T, inl, jnp.where(enough, n_inl, 0)
 
-    def chunk(i1, i2, key):
-        keys = jax.random.split(key, i1.shape[0])
-        return jax.vmap(one)(i1, i2, keys)
+    keys = jax.random.split(key, i1.shape[0])
+    return jax.vmap(one)(i1, i2, keys)
+
+
+def make_pair_matcher(
+    desc: jax.Array,       # (I, F, 8) uint32
+    valid: jax.Array,      # (I, F) bool
+    bearings: jax.Array,   # (I, F, 3)
+    max_matches: int,
+    match_max_dist: int,
+    match_ratio: float,
+    ransac_thresh: float,
+    ransac_min_inliers: int,
+    ransac_hypotheses: int,
+    mesh: Mesh | None = None,
+):
+    """Returns chunk_fn(i1 (C,), i2 (C,), key) -> per-pair results.
+
+    Outputs: (pairs (C, MM, 2), pair_valid (C, MM), count (C,), T (C, 7),
+    inlier_mask (C, MM), n_inliers (C,)).  With a mesh, inputs/outputs are
+    sharded over the chunk axis.
+    """
+    import functools
+
+    impl = functools.partial(
+        _pair_chunk_impl,
+        max_matches=max_matches, match_max_dist=match_max_dist,
+        match_ratio=match_ratio, ransac_thresh=ransac_thresh,
+        ransac_min_inliers=ransac_min_inliers,
+        ransac_hypotheses=ransac_hypotheses,
+    )
+    desc = jnp.asarray(desc)
+    valid = jnp.asarray(valid)
+    bearings = jnp.asarray(bearings)
 
     if mesh is None:
-        return jax.jit(chunk)
+        jimpl = jax.jit(impl)
+
+        def chunk(i1, i2, key):
+            return jimpl(desc, valid, bearings, i1, i2, key)
+
+        return chunk
 
     data = NamedSharding(mesh, P(DATA_AXIS))
-    keyspec = NamedSharding(mesh, P())
-    return jax.jit(
-        chunk,
-        in_shardings=(data, data, keyspec),
+    rep = NamedSharding(mesh, P())
+    jimpl = jax.jit(
+        impl,
+        in_shardings=(rep, rep, rep, data, data, rep),
         out_shardings=(data, data, data, data, data, data),
     )
+
+    def chunk(i1, i2, key):
+        return jimpl(desc, valid, bearings, i1, i2, key)
+
+    return chunk
+
+
+def make_mega_pair_matcher(
+    desc: jax.Array,
+    valid: jax.Array,
+    bearings: jax.Array,
+    max_matches: int,
+    match_max_dist: int,
+    match_ratio: float,
+    ransac_thresh: float,
+    ransac_min_inliers: int,
+    ransac_hypotheses: int,
+):
+    """Multi-chunk mega-dispatch matcher: ``mega(i1g, i2g, keys)`` runs G
+    chunks (a ``lax.map`` over the per-chunk vmapped matcher) in ONE device
+    dispatch and returns every per-pair result with a leading G axis.
+
+    Purpose: dispatch-count reduction.  The 164-image EuRoC all-pairs stage
+    is 416 chunks; dispatched one-by-one over a high-latency link (the
+    tunneled dev chip) its wall is ~85 s for ~2 s of device compute
+    (runs/run_r4_allpairs.log).  Folding chunks into a handful of fixed-G
+    mega-dispatches removes the per-dispatch round trips without changing
+    any per-pair result: the same chunk function runs under ``lax.map``
+    with the same per-chunk keys, so outputs are bit-identical to the
+    chunk-at-a-time path.  Ref: the TBB parallel_for being replaced,
+    /root/reference/src/sfm.cpp:1294-1319.
+    """
+    import functools
+
+    impl = functools.partial(
+        _pair_chunk_impl,
+        max_matches=max_matches, match_max_dist=match_max_dist,
+        match_ratio=match_ratio, ransac_thresh=ransac_thresh,
+        ransac_min_inliers=ransac_min_inliers,
+        ransac_hypotheses=ransac_hypotheses,
+    )
+    desc = jnp.asarray(desc)
+    valid = jnp.asarray(valid)
+    bearings = jnp.asarray(bearings)
+
+    @jax.jit
+    def mega_impl(desc, valid, bearings, i1g, i2g, keys):
+        def one_chunk(t):
+            pairs, pvalid, count, T, inl, n_inl = impl(
+                desc, valid, bearings, *t
+            )
+            # only what the host consumer reads, and pairs as int16
+            # (feature ids < 2^15): the fetch is ~55 MB of the full-run
+            # wall otherwise (pvalid/n_inl are derivable host-side)
+            return pairs.astype(jnp.int16), count, T, inl
+
+        return jax.lax.map(one_chunk, (i1g, i2g, keys))
+
+    def mega(i1g, i2g, keys):  # (G, C) x2 + (G,) chunk keys
+        return mega_impl(desc, valid, bearings, i1g, i2g, keys)
+
+    return mega
 
 
 def make_ransac_chunk(

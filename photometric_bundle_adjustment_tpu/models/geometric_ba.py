@@ -206,6 +206,121 @@ def build_problem(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _packed_solver(model: str):
+    """Jitted solve over PACKED (problem, plan) buffers: one upload per
+    dtype + one dispatch + one packed fetch, instead of ~20 per-array
+    transfers — over the tunneled chip the transfers, not the solve, were
+    the BA stage wall (round-5 measurement: ~0.5 s/solve of per-request
+    latency across 77 solves).  The per-observation intrinsics rows ride
+    COMPACTED (a uint8 physical-camera index per obs + the (n_cams, 8)
+    table — they are ~half the per-solve upload bytes expanded) and are
+    re-expanded by a device row-gather.  Unpacking is static slicing
+    inside jit."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
+
+    solver = make_fused_solver(model)
+
+    @functools.partial(_jax.jit, static_argnames=("cfg", "spec"))
+    def run(buffers, cfg, spec):
+        problem, plan, ir_idx, it_idx, intr_tab = pack_mod.unpack_tree(
+            buffers, spec
+        )
+        aux = problem.obs.aux._replace(
+            intr_ref=intr_tab[ir_idx], intr_target=intr_tab[it_idx]
+        )
+        problem = problem._replace(
+            obs=problem.obs._replace(aux=aux)
+        )
+        solved, res = solver(problem, plan, cfg)
+        dt = solved.cam_states.dtype
+        return _jnp.concatenate([
+            solved.cam_states.reshape(-1),
+            solved.inv_depth.astype(dt),
+            _jnp.stack([res.cost.astype(dt), res.initial_cost.astype(dt),
+                        res.lam.astype(dt),
+                        res.iterations.astype(dt)]),
+        ])
+
+    return run
+
+
+def bundle_adjustment_packed(
+    problem: ba.BAProblem,
+    model: str,
+    cfg: ba.BAConfig = ba.BAConfig(),
+):
+    """Accelerator fast path for the incremental pipeline's BA stage:
+    same solve as :func:`bundle_adjustment`, but (problem, plan) ride to
+    the device as per-dtype packed buffers and the results come back in
+    one packed fetch.
+
+    Returns ``(poses (K, 7) np, inv_depth (L,) np, BAResult-host)``.
+    Requires a host-resident (numpy) problem.  Ref: the Ceres solve being
+    replaced, include/visnav/map_utils.h:322-399.
+    """
+    import numpy as _np
+
+    from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
+
+    problem, plan = _accel_plan(problem)
+    # compact the per-obs intrinsics rows to indices into the table of
+    # UNIQUE rows (EuRoC: 2 physical cameras -> 2 rows)
+    aux = problem.obs.aux
+    ir = _np.asarray(aux.intr_ref)
+    it = _np.asarray(aux.intr_target)
+    intr_tab, inv = _np.unique(
+        _np.concatenate([ir, it]), axis=0, return_inverse=True
+    )
+    assert intr_tab.shape[0] < 256, "intr row table exceeds uint8 index"
+    O_ = ir.shape[0]
+    ir_idx = inv[:O_].astype(_np.uint8)
+    it_idx = inv[O_:].astype(_np.uint8)
+    slim = problem._replace(obs=problem.obs._replace(aux=aux._replace(
+        intr_ref=_np.zeros((0,), ir.dtype),
+        intr_target=_np.zeros((0,), it.dtype),
+    )))
+    buffers, spec = pack_mod.pack_tree(
+        (slim, plan, ir_idx, it_idx, intr_tab)
+    )
+    import jax.numpy as _jnp
+
+    packed = _np.asarray(_packed_solver(model)(
+        {k: _jnp.asarray(v) for k, v in buffers.items()}, cfg, spec
+    ))
+    K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
+    L = problem.inv_depth.shape[0]
+    poses = packed[: K * 7].reshape(K, 7)
+    rho = packed[K * 7: K * 7 + L]
+    cost, icost, lam, iters = packed[K * 7 + L:]
+    return poses, rho, ba.BAResult(
+        cost=float(cost), initial_cost=float(icost),
+        iterations=int(iters), lam=float(lam),
+    )
+
+
+def _accel_plan(problem: ba.BAProblem):
+    """Accelerator plan choice shared by bundle_adjustment and the packed
+    path: slot-major dense when the padding is modest, ragged chunk plan
+    for heavy-tailed maps (see the guard comment in bundle_adjustment)."""
+    import numpy as _np2
+
+    from photometric_bundle_adjustment_tpu.optim import fused
+
+    o = problem.obs
+    ln = _np2.asarray(o.landmark)
+    vm = _np2.asarray(o.valid) != 0
+    L_ = problem.inv_depth.shape[0]
+    n_valid = max(int(vm.sum()), 1)
+    smax = int(_np2.bincount(ln[vm], minlength=L_).max()) if vm.any() else 1
+    if smax * L_ <= 3 * n_valid:
+        return fused.densify_problem(problem)
+    return problem, fused.plan_for_problem(problem, host=False)
+
+
 def bundle_adjustment(
     problem: ba.BAProblem,
     model: str,
@@ -250,7 +365,16 @@ def bundle_adjustment(
         if _jax.default_backend() == "cpu":
             plan = fused.plan_for_problem(problem)
         else:
-            problem, plan = fused.densify_problem(problem)
+            # slot-expansion guard: the slot-major dense layout pads O
+            # observations to S_max * L rows.  Real incremental maps are
+            # heavy-tailed (EuRoC: max ~96 obs/landmark vs ~5 mean), so
+            # densifying them inflates the per-solve upload ~30x —
+            # ~85 MB/solve over the tunneled chip, which round 5 measured
+            # as the entire BA stage wall (1.2 s/solve x 77 solves).
+            # Keep the dense layout only when the padding is modest;
+            # otherwise use the ragged chunk plan (same results, O-row
+            # payloads).  Policy shared with the packed path (_accel_plan).
+            problem, plan = _accel_plan(problem)
         return make_fused_solver(model)(problem, plan, cfg)
     solve = make_solver(model)
     return solve(problem, cfg)

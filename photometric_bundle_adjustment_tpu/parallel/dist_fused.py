@@ -50,6 +50,9 @@ class ShardedFusedProblem(NamedTuple):
     problem: ba.BAProblem       # obs/landmark arrays (D*O_s,)/(D*L_s,), cams (K,...)
     plans: SchurPlan            # SchurPlan or DenseLmSchurPlan, stacked (D, ...)
     n_shards: int
+    # original landmark id -> row in the padded (D*L_s,) landmark arrays
+    # (callers writing solved depths back into a host map need it)
+    lm_global_index: np.ndarray | None = None
 
 
 def _pad_leading(x: np.ndarray, n: int, fill) -> np.ndarray:
@@ -239,7 +242,11 @@ def prepare(problem: ba.BAProblem, mesh: Mesh,
     plans_dev = jax.tree_util.tree_map(
         lambda x: jax.device_put(jnp.asarray(x), data), stacked
     )
-    return ShardedFusedProblem(sharded_problem, plans_dev, D)
+    lm_global_index = (
+        lm_shard * L_s + np.arange(L, dtype=np.int64) - lm_start[lm_shard]
+    )
+    return ShardedFusedProblem(sharded_problem, plans_dev, D,
+                               lm_global_index)
 
 
 def make_distributed_fused_solver(

@@ -79,15 +79,22 @@ class Landmark:
         (obs.begin() on the ordered map, map_utils.h:351-352)."""
         return min(self.obs)
 
+    def add_obs(self, fcid, feat):
+        """Record an observation AND invalidate the sorted-obs cache —
+        the one sanctioned mutation path for ``obs`` (advisor round-4:
+        an in-place overwrite of an existing fcid would keep the
+        count-keyed cache stale; routing every write through here keys
+        correctness on the call site, not on the count)."""
+        self.obs[fcid] = feat
+        self._obs_cache = None
+
     def sorted_obs_arrays(self):
         """(fcid keys, feature ids) of ``obs`` in FrameCamId order, as
-        int64 arrays with fcid encoded frame*16+cam — cached by
-        observation count, which is a safe key because the pipeline only
-        ever ADDS observations to a landmark (add_cameras is the sole
-        mutation site; outliers are recorded in ``outlier_obs`` at
-        insertion and whole landmarks are removed, never single obs).
-        Feeds the vectorised BA-problem assembly (round-4 host profile:
-        the per-row Python scan was ~12 s of a full run)."""
+        int64 arrays with fcid encoded frame*16+cam — cached; invalidated
+        by :meth:`add_obs` (the sole mutation path) and re-checked by
+        observation count as a belt-and-braces fallback.  Feeds the
+        vectorised BA-problem assembly (round-4 host profile: the per-row
+        Python scan was ~12 s of a full run)."""
         c = getattr(self, "_obs_cache", None)
         if c is None or c[0] != len(self.obs):
             items = sorted(self.obs.items())
@@ -135,6 +142,29 @@ def _project_rows_kernel(model, uv_meas, intr, T, p_w):
     return uv_proj, err, dist, p_c[:, 2]
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _project_obs_kernel(model, uv_a, intr_a, T_a, rho,
+                        uv_meas, intr_t, T_t):
+    """Landmark::get_p + reprojection fused into one dispatch: the outlier
+    pass previously paid two device round trips per pass (one
+    _lm_positions_kernel, one _project_rows_kernel) — over the tunneled
+    chip the round trips, not the compute, are the cost (VERDICT r4 #2).
+
+    Returns ONE packed (M, 5) array [uv_proj, err, dist, z] so the caller
+    pays a single device->host fetch (four separate np.asarray fetches
+    cost ~4x the per-request tunnel latency, ~15 s across a full run's 77
+    outlier passes)."""
+    d = cam_models.unproject_unit(model, intr_a, uv_a)
+    p_w = se3.act(T_a, d / rho[:, None])
+    p_c = se3.act(se3.inverse(T_t), p_w)
+    uv_proj = cam_models.project(model, intr_t, p_c)
+    err = jnp.linalg.norm(uv_meas - uv_proj, axis=-1)
+    dist = jnp.linalg.norm(p_c, axis=-1)
+    return jnp.concatenate(
+        [uv_proj, err[:, None], dist[:, None], p_c[:, 2:3]], axis=1
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("model", "min_cos"))
 def _triangulate_rows_kernel(model, uv0, uv1, intr0, intr1, T0, T1, min_cos):
     """Batched two-view midpoint triangulation + parallax gate
@@ -150,12 +180,79 @@ def _triangulate_rows_kernel(model, uv0, uv1, intr0, intr1, T0, T1, min_cos):
     return inv_depth, ok
 
 
+@functools.partial(
+    jax.jit, static_argnames=("model", "min_cos", "spec")
+)
+def _triangulate_rows_packed(model, buffers, min_cos, spec):
+    """Packed-buffer front of :func:`_triangulate_rows_kernel` with
+    intrinsics compacted to per-row uint8 indices; returns ONE (M, 2)
+    array [inv_depth, ok] (one upload set + one fetch per call)."""
+    from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
+
+    uv0, uv1, i0, i1, intr_tab, T0, T1 = pack_mod.unpack_tree(buffers, spec)
+    inv_depth, ok = _triangulate_rows_kernel(
+        model, uv0, uv1, intr_tab[i0], intr_tab[i1], T0, T1, min_cos
+    )
+    return jnp.stack([inv_depth, ok.astype(inv_depth.dtype)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "spec"))
+def _project_obs_packed(model, buffers, spec):
+    """Packed-buffer front of :func:`_project_obs_kernel` (same single
+    (M, 5) packed output; intrinsics ride as uint8 row indices)."""
+    from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
+
+    uv_a, ia, T_a, rho, uv_meas, it_, T_t, intr_tab = pack_mod.unpack_tree(
+        buffers, spec
+    )
+    return _project_obs_kernel(
+        model, uv_a, intr_tab[ia], T_a, rho, uv_meas, intr_tab[it_], T_t
+    )
+
+
 def _pad_rows(x: np.ndarray, M: int) -> np.ndarray:
     """Pad the leading axis to M by repeating the last row."""
     n = x.shape[0]
     if n == M:
         return x
     return np.concatenate([x, np.repeat(x[-1:], M - n, axis=0)])
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _bearings_kernel(model, intr, uv):
+    """Jitted feature-bearing computation (eager unproject dispatches each
+    of its ~15 ops separately over the tunnel)."""
+    return cam_models.unproject_unit(model, intr, uv)
+
+
+@functools.partial(jax.jit, static_argnames=("num",))
+def _split_keys(key, num: int):
+    """Jitted PRNG split: one dispatch instead of one per eager op."""
+    return jax.random.split(key, num)
+
+
+@jax.jit
+def _pack_ba_out(cam_states, inv_depth, cost, initial_cost, lam,
+                 iterations):
+    """Pack a BA solve's outputs into ONE array: each extra np.asarray is
+    a tunnel round trip, and the 77 solves of a full run previously paid
+    five each (poses, depths, and three scalars for the log line)."""
+    dt = cam_states.dtype
+    return jnp.concatenate([
+        cam_states.reshape(-1),
+        inv_depth.astype(dt),
+        jnp.stack([cost.astype(dt), initial_cost.astype(dt),
+                   lam.astype(dt), iterations.astype(dt)]),
+    ])
+
+
+@jax.jit
+def _stereo_geometry(T_c0, T_c1):
+    """Stereo extrinsics + essential matrix in one jitted dispatch (the
+    eager formulation dispatched every tiny se3 op separately — each one a
+    remote compile on the tunneled backend, every run)."""
+    T_0_1 = se3.compose(se3.inverse(T_c0), T_c1)
+    return T_0_1, geometry.essential_from_pose(T_0_1)
 
 
 @functools.partial(
@@ -171,6 +268,54 @@ def _localize_kernel(model, uv, intr, points, valid, key,
     return ransac.ransac_pnp(
         bearings, points, valid, key,
         pixel_threshold=pixel_threshold, num_hypotheses=num_hypotheses,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "pixel_threshold", "num_hypotheses")
+)
+def _localize_batch_kernel(model, uv, intr, uv_a, intr_a, T_a, rho,
+                           valid, keys, pixel_threshold, num_hypotheses):
+    """vmapped PnP localization over a candidate axis with Landmark::get_p
+    FUSED in (anchor unprojection -> world point -> RANSAC): one device
+    dispatch localizes a whole WAVE of camera candidates, with no separate
+    landmark-positions round trip (dispatch-count reduction for the
+    tunneled-chip wall; VERDICT r4 #2)."""
+
+    def one(uv1, intr1, uva1, intra1, Ta1, rho1, val1, k1):
+        d = cam_models.unproject_unit(model, intra1, uva1)
+        pts1 = se3.act(Ta1, d / rho1[:, None])
+        bearings = cam_models.unproject_unit(
+            model, jnp.broadcast_to(intr1, (uv1.shape[0],) + intr1.shape),
+            uv1,
+        )
+        T1, inl1 = ransac.ransac_pnp(
+            bearings, pts1, val1, k1,
+            pixel_threshold=pixel_threshold, num_hypotheses=num_hypotheses,
+        )
+        # packed (7 + M,) row: one fetch per wave instead of two
+        return jnp.concatenate([T1, inl1.astype(T1.dtype)])
+
+    return jax.vmap(one)(uv, intr, uv_a, intr_a, T_a, rho, valid, keys)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "pixel_threshold", "num_hypotheses", "spec"),
+)
+def _localize_batch_packed(model, buffers, keys, pixel_threshold,
+                           num_hypotheses, spec):
+    """Packed-buffer front of :func:`_localize_batch_kernel`: the wave's
+    seven input arrays ride as one buffer per dtype (utils/pack) — each
+    separate jit argument is its own tunnel transfer."""
+    from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
+
+    uv, intr, uv_a, intr_a, T_a, rho, valid = pack_mod.unpack_tree(
+        buffers, spec
+    )
+    return _localize_batch_kernel(
+        model, uv, intr, uv_a, intr_a, T_a, rho, valid, keys,
+        pixel_threshold, num_hypotheses,
     )
 
 
@@ -277,8 +422,16 @@ class SfmPipeline:
     # ---------------------------------------------------------------- utils
 
     def _next_key(self):
-        self.key, sub = jax.random.split(self.key)
+        self.key, sub = _split_keys(self.key, 2)
         return sub
+
+    def _next_keys(self, n: int):
+        """n keys in ONE jitted device dispatch (jax.random.split is a
+        device computation; drawing per-chunk keys one at a time costs one
+        tunnel dispatch each — ~10 s for the 416-chunk all-pairs stage)."""
+        ks = _split_keys(self.key, n + 1)
+        self.key = ks[0]
+        return ks[1:]
 
     def _count(self, name, n=1):
         self.counters[name] = self.counters.get(name, 0) + n
@@ -327,11 +480,10 @@ class SfmPipeline:
         tab = np.stack(rowsl) if rowsl else np.zeros((0, 7))
         return tab, pose_of
 
-    def landmark_positions(self, tids: list) -> np.ndarray:
-        """Batched Landmark::get_p (common_types.h:205-217); bucketed so the
-        kernel compiles once per power-of-two row count."""
-        if not tids:
-            return np.zeros((0, 3))
+    def _anchor_arrays(self, tids: list):
+        """Host-side per-row anchor data (uv, intr, T, rho) for
+        Landmark::get_p — shared by landmark_positions and the fused
+        project-observations kernel."""
         uvf, off = self._uv_table()
         pose_tab, pose_of = self._pose_table()
         # per-UNIQUE-tid scalars (callers pass one tid per observation
@@ -350,10 +502,17 @@ class SfmPipeline:
             pose_l.append(e[2])
             rho_l.append(e[3])
         uv = uvf[np.asarray(uvidx)]
-        cam_ids = np.asarray(cam_l)
         rho = np.asarray(rho_l)
         T = pose_tab[np.asarray(pose_l)]
-        intr = np.asarray(self.calib.intrinsics)[cam_ids]
+        intr = np.asarray(self.calib.intrinsics)[np.asarray(cam_l)]
+        return uv, intr, T, rho
+
+    def landmark_positions(self, tids: list) -> np.ndarray:
+        """Batched Landmark::get_p (common_types.h:205-217); bucketed so the
+        kernel compiles once per power-of-two row count."""
+        if not tids:
+            return np.zeros((0, 3))
+        uv, intr, T, rho = self._anchor_arrays(tids)
         N = len(tids)
         M = _bucket(N, 256)
         self._count("lmpos_calls")
@@ -432,8 +591,8 @@ class SfmPipeline:
             uv = jnp.asarray(uv_np)
             valid = jnp.asarray(valid_np)
             desc = jnp.asarray(desc_np)
-            intr = jnp.asarray(self.calib.intrinsics)[cam_ids]  # (I, 8)
-            bear = cam_models.unproject_unit(
+            intr = jnp.asarray(np.asarray(self.calib.intrinsics)[cam_ids])
+            bear = _bearings_kernel(
                 self.model, intr[:, None, :], uv
             )
         self._stacked = (uv, valid, desc, bear)
@@ -444,14 +603,16 @@ class SfmPipeline:
         (sfm.cpp:1217-1272)."""
         t0, d0 = time.time(), self.device_seconds
         self.clear_tracks()
-        with self._dev():   # tiny kernels, but first call pays their jit
-            T_0_1 = np.asarray(
-                se3.compose(
-                    se3.inverse(jnp.asarray(self.calib.T_i_c[0])),
-                    jnp.asarray(self.calib.T_i_c[1]),
-                )
-            )
-            E = geometry.essential_from_pose(jnp.asarray(T_0_1))
+        with self._dev():
+            # ONE jitted dispatch: running these ~30 tiny se3/essential ops
+            # eagerly costs a remote compile + dispatch EACH, every run —
+            # they are too cheap for the persistent compilation cache's
+            # 0.5 s threshold, and measured ~20 s of this stage's wall on
+            # the tunneled chip
+            T_0_1, E = jax.tree_util.tree_map(np.asarray, _stereo_geometry(
+                jnp.asarray(self.calib.T_i_c[0]),
+                jnp.asarray(self.calib.T_i_c[1]),
+            ))
         num_matches = 0
         num_inliers = 0
         self.log(f"Matching {self.num_frames} stereo pairs...")
@@ -471,7 +632,12 @@ class SfmPipeline:
         MM = self.cfg.num_features_per_image
         cfg = self.cfg
 
-        def one(a, b):
+        # feature stacks ride as jit ARGUMENTS (closure-captured jnp
+        # arrays inline as HLO constants — program bloat that defeats the
+        # compilation cache's cheap reload; see features/pair_matching.
+        # _pair_chunk_impl), and ALL stereo chunks fold into one lax.map
+        # mega-dispatch
+        def one(desc, valid, bear, E, a, b):
             m12 = match.match_descriptors(
                 desc[a], desc[b], valid[a], valid[b],
                 cfg.feature_match_max_dist,
@@ -485,19 +651,33 @@ class SfmPipeline:
             ) & pvalid
             return pairs, count, inl
 
-        chunk_fn = jax.jit(lambda i1, i2: jax.vmap(one)(i1, i2))
+        @jax.jit
+        def mega_fn(desc, valid, bear, E, i1g, i2g):
+            return jax.lax.map(
+                lambda t: jax.vmap(
+                    lambda a, b: one(desc, valid, bear, E, a, b)
+                )(*t),
+                (i1g, i2g),
+            )
+
         C = cfg.match_chunk_pairs
-        for s in range(0, len(stereo), C):
-            chunk = stereo[s : s + C]
+        chunks = [stereo[s: s + C] for s in range(0, len(stereo), C)]
+        G = len(chunks)
+        i1g = np.zeros((G, C), np.int32)
+        i2g = np.ones((G, C), np.int32)
+        for gi, chunk in enumerate(chunks):
             self._count("stereo_chunks")
             self._count("stereo_pairs", len(chunk))
-            pad = C - len(chunk)
-            i1 = np.array([a for a, _, _ in chunk] + [0] * pad, np.int32)
-            i2 = np.array([b for _, b, _ in chunk] + [1] * pad, np.int32)
-            with self._dev():
-                pairs, count, inl = jax.tree_util.tree_map(
-                    np.asarray, chunk_fn(jnp.asarray(i1), jnp.asarray(i2))
-                )
+            i1g[gi, : len(chunk)] = [a for a, _, _ in chunk]
+            i2g[gi, : len(chunk)] = [b for _, b, _ in chunk]
+        with self._dev():
+            pairs_g, count_g, inl_g = jax.tree_util.tree_map(
+                np.asarray,
+                mega_fn(desc, valid, bear, jnp.asarray(E),
+                        jnp.asarray(i1g), jnp.asarray(i2g)),
+            )
+        for gi, chunk in enumerate(chunks):
+            pairs, count, inl = pairs_g[gi], count_g[gi], inl_g[gi]
             for ci, (_, _, fid) in enumerate(chunk):
                 n = int(count[ci])
                 all_pairs = pairs[ci][:n].astype(np.int32)
@@ -589,7 +769,7 @@ class SfmPipeline:
                                      np.asarray(n_inl))
                 return (np.asarray(pairs_all[s:e]),
                         np.asarray(count_all[s:e]), T, inl, n_inl)
-        else:
+        elif mesh is not None:
             chunk_fn = pair_matching.make_pair_matcher(
                 desc, valid, bear,
                 max_matches=cfg.max_matches_per_pair,
@@ -600,6 +780,67 @@ class SfmPipeline:
                 ransac_hypotheses=cfg.ransac_hypotheses,
                 mesh=mesh,
             )
+        else:
+            # accelerator path: fold chunks into fixed-G mega-dispatches
+            # (lax.map over the vmapped chunk matcher) — the per-chunk
+            # dispatch round trips dominated this stage's wall over the
+            # tunneled chip (85 s of wall for ~2 s of device compute,
+            # VERDICT r4 #2); results are bit-identical because the same
+            # chunk function runs with the same per-chunk key stream
+            mega_fn = pair_matching.make_mega_pair_matcher(
+                desc, valid, bear,
+                max_matches=cfg.max_matches_per_pair,
+                match_max_dist=cfg.feature_match_max_dist,
+                match_ratio=cfg.feature_match_test_next_best,
+                ransac_thresh=cfg.relative_pose_ransac_thresh,
+                ransac_min_inliers=cfg.relative_pose_ransac_min_inliers,
+                ransac_hypotheses=cfg.ransac_hypotheses,
+            )
+
+        def consume_chunk(chunk, pairs, count, T, inl):
+            for ci, (a, b) in enumerate(chunk):
+                n = int(count[ci])
+                all_pairs = pairs[ci][: n].astype(np.int32)
+                inliers = pairs[ci][inl[ci]].astype(np.int32)
+                self.matches[(self.fcids[a], self.fcids[b])] = {
+                    "T_i_j": T[ci], "matches": all_pairs, "inliers": inliers,
+                }
+
+        if not use_native and mesh is None:
+            chunks = [ids[s: s + C] for s in range(0, len(ids), C)]
+            for chunk in chunks:
+                self._count("match_chunks")
+                self._count("match_pairs", len(chunk))
+            # per-chunk keys drawn in one batched split (chunk order)
+            keys = self._next_keys(max(len(chunks), 1))
+            done = 0
+            while done < len(chunks):
+                # two compiled group sizes: big groups + a small tail tier
+                G = 128 if len(chunks) - done >= 128 else 16
+                group = chunks[done: done + G]
+                kg = keys[done: done + G]
+                if len(group) < G:
+                    kg = jnp.concatenate(
+                        [kg, jnp.broadcast_to(
+                            keys[done], (G - len(group),) + kg.shape[1:]
+                        )]
+                    )
+                i1 = np.zeros((G, C), np.int32)
+                i2 = np.ones((G, C), np.int32)
+                for gi, chunk in enumerate(group):
+                    i1[gi, : len(chunk)] = [a for a, _ in chunk]
+                    i2[gi, : len(chunk)] = [b for _, b in chunk]
+                self._count("match_mega_dispatches")
+                with self._dev():
+                    pairs, count, T, inl = jax.tree_util.tree_map(
+                        np.asarray,
+                        mega_fn(jnp.asarray(i1), jnp.asarray(i2), kg),
+                    )
+                for gi, chunk in enumerate(group):
+                    consume_chunk(chunk, pairs[gi], count[gi], T[gi],
+                                  inl[gi])
+                done += len(group)
+            return
 
         for s in range(0, len(ids), C):
             chunk = ids[s : s + C]
@@ -621,13 +862,7 @@ class SfmPipeline:
                                      self._next_key()),
                         )
                     )
-            for ci, (a, b) in enumerate(chunk):
-                n = int(count[ci])
-                all_pairs = pairs[ci][: n].astype(np.int32)
-                inliers = pairs[ci][inl[ci]].astype(np.int32)
-                self.matches[(self.fcids[a], self.fcids[b])] = {
-                    "T_i_j": T[ci], "matches": all_pairs, "inliers": inliers,
-                }
+            consume_chunk(chunk, pairs, count, T, inl)
 
     def _report_pair_matching(self, ids):
         num_matches = num_inliers = num_success = 0
@@ -720,8 +955,8 @@ class SfmPipeline:
             (off[f1] + self.tracks[t][f1] for _, f1, t in rows), np.int64, n
         )]
         intr = np.asarray(self.calib.intrinsics)
-        intr0 = intr[np.fromiter((f0[1] for f0, _, _ in rows), np.int64, n)]
-        intr1 = intr[np.fromiter((f1[1] for _, f1, _ in rows), np.int64, n)]
+        i0 = np.fromiter((f0[1] for f0, _, _ in rows), np.int64, n)
+        i1 = np.fromiter((f1[1] for _, f1, _ in rows), np.int64, n)
         T0 = pose_tab[np.fromiter((pose_of[f0] for f0, _, _ in rows),
                                   np.int64, n)]
         T1 = pose_tab[np.fromiter((pose_of[f1] for _, f1, _ in rows),
@@ -733,17 +968,21 @@ class SfmPipeline:
         # parallax gate: rays must subtend a minimum angle at the point,
         # else the midpoint depth is unconstrained (see config note)
         min_cos = float(np.cos(np.deg2rad(self.cfg.min_triangulation_angle_deg)))
+        from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
+
+        bufs, spec = pack_mod.pack_tree((
+            _pad_rows(uv0, M), _pad_rows(uv1, M),
+            _pad_rows(i0.astype(np.uint8)[:, None], M)[:, 0],
+            _pad_rows(i1.astype(np.uint8)[:, None], M)[:, 0],
+            intr, _pad_rows(T0, M), _pad_rows(T1, M),
+        ))
         with self._dev():
-            inv_depth, ok = _triangulate_rows_kernel(
+            packed = np.asarray(_triangulate_rows_packed(
                 self.model,
-                jnp.asarray(_pad_rows(uv0, M)), jnp.asarray(_pad_rows(uv1, M)),
-                jnp.asarray(_pad_rows(intr0, M)),
-                jnp.asarray(_pad_rows(intr1, M)),
-                jnp.asarray(_pad_rows(T0, M)), jnp.asarray(_pad_rows(T1, M)),
-                min_cos,
-            )
-            inv_depth, ok = np.asarray(inv_depth), np.asarray(ok)
-        return inv_depth[:N], ok[:N]
+                {k: jnp.asarray(v) for k, v in bufs.items()},
+                min_cos, spec,
+            ))
+        return packed[:N, 0], packed[:N, 1] > 0.5
 
     def _add_triangulated(self, rows, inv_depth, ok) -> int:
         """First-passing-row-wins landmark insertion (pair order = the
@@ -810,6 +1049,9 @@ class SfmPipeline:
             self.min_localization_inliers > 0 and num_tried > 0 and num_added == 0
         )
         self.candidates = []
+        # wave-localization cache is only valid within one candidate round
+        # (BA / outlier removal / new landmarks change the geometry)
+        self._loc_cache = {}
         self.stage = Stage.DONE
         if num_remaining <= 0:
             self.log(
@@ -873,35 +1115,92 @@ class SfmPipeline:
         self.candidates = cands
 
     def localize_camera(self, fcid, shared_track_ids):
-        """PnP RANSAC + refinement (localize_camera, map_utils.h:242-302)."""
-        uv = self.corners[fcid]["uv"][np.fromiter(
-            (self.tracks[t][fcid] for t in shared_track_ids),
-            np.int64, len(shared_track_ids),
-        )]
-        points = self.landmark_positions(shared_track_ids)
-        # fixed 1024-slot pad for typical counts: ONE compiled localize
-        # kernel (unproject + RANSAC) instead of one per varying shape
-        # (compiles dominate wall-clock on the tunneled TPU)
-        N = len(shared_track_ids)
-        M = _bucket(N, minimum=1024)
-        self._count("localize_calls")
-        self._count(f"localize_rows_{M}")
-        intr = np.asarray(self.calib.intrinsics)[fcid[1]]
-        with self._dev():
-            T_w_c, inl = _localize_kernel(
-                self.model,
-                jnp.asarray(_pad_rows(uv, M)),
-                jnp.asarray(intr),
-                jnp.asarray(_pad_rows(points, M)),
-                jnp.asarray(np.arange(M) < N),
-                self._next_key(),
-                float(self.cfg.reprojection_error_pnp_inlier_threshold_pixel),
-                int(self.cfg.pnp_hypotheses),
-            )
-            inl = np.asarray(inl)
-        inl = inl[:N]
+        """PnP RANSAC + refinement (localize_camera, map_utils.h:242-302).
+
+        Candidates are localized in batched WAVES (one vmapped dispatch for
+        this candidate plus the next untried ones) and served from a
+        per-round cache: within an ADD_CAMERAS round the landmark geometry
+        the PnP consumes is fixed — this also matches the reference more
+        closely than strictly sequential localization, whose ``Landmark.p``
+        (common_types.h:188-219) does NOT move when observations are added
+        mid-round, whereas our anchored representation could shift a
+        landmark's anchor when a newly added camera sorts before it."""
+        cache = getattr(self, "_loc_cache", None)
+        if cache is None or fcid not in cache:
+            self._localize_wave(fcid, shared_track_ids)
+            cache = self._loc_cache
+        T_w_c, inl = cache.pop(fcid)
         inlier_tids = [t for t, ok in zip(shared_track_ids, inl) if ok]
-        return np.asarray(T_w_c), inlier_tids
+        return T_w_c, inlier_tids
+
+    def _localize_wave(self, fcid, shared_track_ids, W: int = 16):
+        """One batched localize dispatch for ``fcid`` and up to W-1 of the
+        next untried candidates; results land in ``self._loc_cache``."""
+        wave = [(fcid, list(shared_track_ids))]
+        for c in self.candidates:
+            if len(wave) >= W:
+                break
+            if c.fcid == fcid or c.tried or c.camera_added:
+                continue
+            wave.append((c.fcid, list(c.shared_tracks)))
+
+        # anchor-side get_p inputs for every wave member, batched; the
+        # world-point computation runs INSIDE the localize kernel (no
+        # separate landmark-positions dispatch)
+        all_tids: list = []
+        spans = []
+        for _, tids in wave:
+            spans.append((len(all_tids), len(tids)))
+            all_tids.extend(tids)
+        uv_a, intr_a, T_a, rho_a = self._anchor_arrays(all_tids)
+
+        intr_tab = np.asarray(self.calib.intrinsics)
+        M = max(_bucket(len(tids), minimum=1024) for _, tids in wave)
+        B = _bucket(len(wave), minimum=4)
+        uv_b = np.zeros((B, M, 2), uv_a.dtype)
+        uva_b = np.zeros((B, M, 2), uv_a.dtype)
+        intra_b = np.zeros((B, M) + intr_a.shape[1:], intr_a.dtype)
+        Ta_b = np.zeros((B, M, 7), T_a.dtype)
+        Ta_b[..., 6] = 1.0  # identity quaternion for padding rows
+        rho_b = np.ones((B, M), rho_a.dtype)
+        val_b = np.zeros((B, M), bool)
+        intr_b = np.zeros((B,) + intr_tab.shape[1:], intr_tab.dtype)
+        for wi, ((f, tids), (s0, n)) in enumerate(zip(wave, spans)):
+            uv = self.corners[f]["uv"][np.fromiter(
+                (self.tracks[t][f] for t in tids), np.int64, n,
+            )]
+            uv_b[wi, :n] = uv
+            uv_b[wi, n:] = uv[-1] if n else 0.0
+            uva_b[wi, :n] = uv_a[s0: s0 + n]
+            intra_b[wi, :n] = intr_a[s0: s0 + n]
+            intra_b[wi, n:] = intr_a[s0] if n else 1.0
+            Ta_b[wi, :n] = T_a[s0: s0 + n]
+            rho_b[wi, :n] = rho_a[s0: s0 + n]
+            val_b[wi, :n] = True
+            intr_b[wi] = intr_tab[f[1]]
+            self._count("localize_calls")
+            self._count(f"localize_rows_{M}")
+        self._count("localize_waves")
+
+        from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
+
+        bufs, spec = pack_mod.pack_tree(
+            (uv_b, intr_b, uva_b, intra_b, Ta_b, rho_b, val_b)
+        )
+        with self._dev():
+            keys = self._next_keys(B)
+            packed = np.asarray(_localize_batch_packed(
+                self.model,
+                {k: jnp.asarray(v) for k, v in bufs.items()}, keys,
+                float(self.cfg.reprojection_error_pnp_inlier_threshold_pixel),
+                int(self.cfg.pnp_hypotheses), spec,
+            ))
+        T_b = packed[:, :7]
+        inl_b = packed[:, 7:] > 0.5
+        if not hasattr(self, "_loc_cache") or self._loc_cache is None:
+            self._loc_cache = {}
+        for wi, ((f, tids), (s0, n)) in enumerate(zip(wave, spans)):
+            self._loc_cache[f] = (T_b[wi], inl_b[wi, :n])
 
     def add_next_camera(self):
         """Try the next untried candidate (add_next_camera, sfm.cpp:1708-1822)."""
@@ -944,7 +1243,9 @@ class SfmPipeline:
                 inlier_set = set(inlier_tids)
                 for tid in candidate.shared_tracks:
                     if tid in inlier_set:
-                        self.landmarks[tid].obs[fcid] = self.tracks[tid][fcid]
+                        self.landmarks[tid].add_obs(
+                            fcid, self.tracks[tid][fcid]
+                        )
                     else:
                         self.landmarks[tid].outlier_obs[fcid] = (
                             self.tracks[tid][fcid]
@@ -972,22 +1273,27 @@ class SfmPipeline:
                 self.stage = Stage.COMPUTE_CANDIDATES
 
     def add_new_landmarks(self):
-        """Triangulate new landmarks for the next added camera
-        (sfm.cpp:1826-1880)."""
-        candidate = None
-        for c in self.candidates:
-            if c.camera_added and not c.landmarks_added:
-                c.landmarks_added = True
-                candidate = c
-                break
-        more_to_add = False
-        if candidate is None:
+        """Triangulate new landmarks for ALL cameras added this round in
+        one batched dispatch (sfm.cpp:1826-1880).
+
+        Row lists are collected per added camera IN ORDER and concatenated;
+        ``_add_triangulated``'s first-passing-row-wins insertion then
+        reproduces the reference's sequential per-camera processing exactly
+        (a track that an earlier camera's row triangulates is skipped for
+        later cameras; one that fails stays available), while the device
+        sees ONE bucketed triangulation instead of one per camera — the
+        per-camera dispatches cost ~10 s of round-trip wall on the
+        tunneled chip (runs/run_r4_allpairs.log)."""
+        pend = [c for c in self.candidates
+                if c.camera_added and not c.landmarks_added]
+        if not pend:
             self.log("No more cameras for which to add landmarks.")
-        else:
+            self.stage = Stage.OPTIMIZE
+            return
+        per_cam = []
+        for candidate in pend:
+            candidate.landmarks_added = True
             fcid = candidate.fcid
-            # one bucketed triangulation over ALL (existing, new) pairs; the
-            # first passing row in pair order wins, which is exactly the
-            # reference's sequential pair processing (sfm.cpp:1826-1880)
             rows = []
             for fcid_existing in list(self.cameras):
                 if fcid_existing == fcid:
@@ -998,16 +1304,21 @@ class SfmPipeline:
                     for t in shared
                     if t not in self.landmarks
                 )
+            per_cam.append((fcid, rows))
+        flat = [r for _, rows in per_cam for r in rows]
+        if flat:
+            inv_depth, ok = self._batch_triangulate(flat)
+        base = 0
+        for fcid, rows in per_cam:
             n_new = 0
             if rows:
-                inv_depth, ok = self._batch_triangulate(rows)
-                n_new = self._add_triangulated(rows, inv_depth, ok)
+                n_new = self._add_triangulated(
+                    rows, inv_depth[base: base + len(rows)],
+                    ok[base: base + len(rows)],
+                )
+                base += len(rows)
             self.log(f"Added {n_new} new landmarks for image {fcid}.")
-            more_to_add = sum(c.landmarks_added for c in self.candidates) < sum(
-                c.camera_added for c in self.candidates
-            )
-        if not more_to_add:
-            self.stage = Stage.OPTIMIZE
+        self.stage = Stage.OPTIMIZE
 
     # ------------------------------------------------------------------- BA
 
@@ -1068,17 +1379,31 @@ class SfmPipeline:
             ol = np.repeat(np.arange(len(lm_list)), nobs)
         else:
             keys = feats = ol = np.zeros(0, np.int64)
+        # the frame*16+cam fcid encoding must be collision-free for the
+        # searchsorted lookups below (advisor round-4: nothing asserted it)
+        assert all(c < 16 for _, c in self.fcids), \
+            "fcid encoding frame*16+cam requires cam ids < 16"
         cam_keys = np.fromiter(
             (f * 16 + c for (f, c) in cam_list), np.int64, len(cam_list)
         )   # ascending: cam_list is sorted and the encoding is monotone
         oc = np.searchsorted(cam_keys, keys)
+        # obs ⊆ cameras invariant: a landmark observation referencing an
+        # fcid outside cam_list would silently yield a wrong camera index
+        # here (the old dict lookup raised KeyError) — fail loudly instead
+        assert oc.size == 0 or np.array_equal(
+            cam_keys[np.minimum(oc, len(cam_keys) - 1)], keys
+        ), "BA observation references a camera not in the map"
         img_keys = np.fromiter(
             (f * 16 + c for (f, c) in self.fcids), np.int64, len(self.fcids)
         )
         img_off = np.fromiter(
             (off[f] for f in self.fcids), np.int64, len(self.fcids)
         )
-        uvti = img_off[np.searchsorted(img_keys, keys)] + feats
+        oi = np.searchsorted(img_keys, keys)
+        assert oi.size == 0 or np.array_equal(
+            img_keys[np.minimum(oi, len(img_keys) - 1)], keys
+        ), "BA observation references an image outside the dataset"
+        uvti = img_off[oi] + feats
         it = keys % 16                  # cam id of the target image
         oa = anchor_cam_idx[ol]
         ir = anchor_intr[ol]
@@ -1127,6 +1452,41 @@ class SfmPipeline:
         )
         return problem, cam_list, lm_list
 
+    def _run_ba_solve(self, problem, cam_list, lm_list, cfg):
+        """One BA solve; updates cameras/landmarks; returns a host-side
+        BAResult.  On accelerators the (problem, plan) tree rides to the
+        device as per-dtype packed buffers and results come back in ONE
+        packed fetch (geometric_ba.bundle_adjustment_packed) — per-array
+        transfers over the tunnel were the BA stage's wall."""
+        if jax.default_backend() != "cpu":
+            with self._dev():
+                poses, rho, res = geometric_ba.bundle_adjustment_packed(
+                    problem, self.model, cfg
+                )
+        else:
+            with self._dev():
+                solved, res = geometric_ba.bundle_adjustment(
+                    problem, self.model, cfg
+                )
+                packed = np.asarray(_pack_ba_out(
+                    solved.cam_states, solved.inv_depth,
+                    res.cost, res.initial_cost, res.lam, res.iterations,
+                ))
+            nK7 = solved.cam_states.shape[0] * 7
+            nL = solved.inv_depth.shape[0]
+            poses = packed[:nK7].reshape(-1, 7)
+            rho = packed[nK7: nK7 + nL]
+            cost, icost, lam, iters = packed[nK7 + nL:]
+            res = ba.BAResult(
+                cost=float(cost), initial_cost=float(icost),
+                iterations=int(iters), lam=float(lam),
+            )
+        for i, f in enumerate(cam_list):
+            self.cameras[f] = poses[i]
+        for i, t in enumerate(lm_list):
+            self.landmarks[t].inv_depth = float(rho[i])
+        return res
+
     def optimize(self):
         """Bundle adjustment stage (sfm.cpp:1883-1925)."""
         t0, d0 = time.time(), self.device_seconds
@@ -1146,16 +1506,7 @@ class SfmPipeline:
             max_iterations=20,
             huber_delta=self.cfg.reprojection_error_huber_pixel,
         )
-        with self._dev():
-            solved, res = geometric_ba.bundle_adjustment(
-                problem, self.model, cfg
-            )
-            poses = np.asarray(solved.cam_states)
-            rho = np.asarray(solved.inv_depth)
-        for i, f in enumerate(cam_list):
-            self.cameras[f] = poses[i]
-        for i, t in enumerate(lm_list):
-            self.landmarks[t].inv_depth = float(rho[i])
+        res = self._run_ba_solve(problem, cam_list, lm_list, cfg)
         if self.cfg.ba_optimize_intrinsics:
             # block-coordinate step on the shared per-physical-camera
             # intrinsics (the reference's optimize_intrinsics option,
@@ -1163,16 +1514,7 @@ class SfmPipeline:
             # ref-frame intrinsics held constant), then re-polish poses
             self._refine_intrinsics()
             problem, cam_list, lm_list = self._build_ba_problem()
-            with self._dev():
-                solved, res2 = geometric_ba.bundle_adjustment(
-                    problem, self.model, cfg
-                )
-                poses = np.asarray(solved.cam_states)
-                rho = np.asarray(solved.inv_depth)
-            for i, f in enumerate(cam_list):
-                self.cameras[f] = poses[i]
-            for i, t in enumerate(lm_list):
-                self.landmarks[t].inv_depth = float(rho[i])
+            res2 = self._run_ba_solve(problem, cam_list, lm_list, cfg)
             res = res2._replace(
                 iterations=res.iterations + res2.iterations,
                 initial_cost=res.initial_cost,
@@ -1292,7 +1634,9 @@ class SfmPipeline:
         if not rows:
             return None
         tids = [r[0] for r in rows]
-        p_w = self.landmark_positions(tids)  # batched get_p per row's landmark
+        # anchor-side arrays (get_p inputs) ride into the FUSED projection
+        # kernel — one dispatch instead of lm-positions + project per pass
+        uv_a, intr_a, T_a, rho = self._anchor_arrays(tids)
         uvf, off = self._uv_table()
         pose_tab, pose_of = self._pose_table()
         n = len(rows)
@@ -1300,23 +1644,34 @@ class SfmPipeline:
         uv_meas = uvf[np.fromiter((off[r[1]] + r[2] for r in rows),
                                   np.int64, n)]
         cam_ids = np.fromiter((r[1][1] for r in rows), np.int64, n)
-        intr = np.asarray(self.calib.intrinsics)[cam_ids]
+        intr_tab = np.asarray(self.calib.intrinsics)
+        # the anchor intr rows are also rows of the calib table: recover
+        # their indices so both intrinsics arrays ride as uint8 per row
+        ia_ids = np.fromiter(
+            (min(self.landmarks[r[0]].obs)[1] for r in rows), np.int64, n
+        )
         N = len(rows)
         M = _bucket(N, 256)
         self._count("project_calls")
         self._count(f"project_rows_{M}")
+        from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
+
+        bufs, spec = pack_mod.pack_tree((
+            _pad_rows(uv_a, M),
+            _pad_rows(ia_ids.astype(np.uint8)[:, None], M)[:, 0],
+            _pad_rows(T_a, M),
+            _pad_rows(rho[:, None], M)[:, 0],
+            _pad_rows(uv_meas, M),
+            _pad_rows(cam_ids.astype(np.uint8)[:, None], M)[:, 0],
+            _pad_rows(T, M), intr_tab,
+        ))
         with self._dev():
-            uv_proj, err, dist, zc = jax.tree_util.tree_map(
-                np.asarray,
-                _project_rows_kernel(
-                    self.model,
-                    jnp.asarray(_pad_rows(uv_meas, M)),
-                    jnp.asarray(_pad_rows(intr, M)),
-                    jnp.asarray(_pad_rows(T, M)),
-                    jnp.asarray(_pad_rows(p_w, M)),
-                ),
-            )
-        uv_proj, err, dist, zc = uv_proj[:N], err[:N], dist[:N], zc[:N]
+            packed = np.asarray(_project_obs_packed(
+                self.model,
+                {k: jnp.asarray(v) for k, v in bufs.items()}, spec,
+            ))
+        uv_proj, err, dist, zc = (packed[:N, :2], packed[:N, 2],
+                                  packed[:N, 3], packed[:N, 4])
 
         cfg = self.cfg
         flags = np.zeros(len(rows), np.int32)

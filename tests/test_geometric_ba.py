@@ -188,3 +188,57 @@ def test_manual_jacobian_matches_autodiff():
     np.testing.assert_allclose(np.asarray(r_man), np.asarray(r_auto), atol=1e-10)
     np.testing.assert_allclose(np.asarray(J_man), np.asarray(J_auto),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_bundle_adjustment_packed_matches_unpacked():
+    """Packed-buffer dispatch (utils/pack + bundle_adjustment_packed) must
+    reproduce the regular solve exactly — same arrays, same plan, only the
+    transfer layout differs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from photometric_bundle_adjustment_tpu.models import (
+        geometric_ba, synthetic,
+    )
+    from photometric_bundle_adjustment_tpu.optim import ba
+
+    problem, _, _ = synthetic.synth_ba_problem(
+        model="pinhole", K=10, L=96, obs_per_landmark=4,
+        pixel_noise=0.5, dtype=jnp.float32,
+    )
+    pnp = jax.tree_util.tree_map(np.asarray, problem)
+    cfg = ba.BAConfig(max_iterations=5, huber_delta=1.0)
+
+    p2, plan = geometric_ba._accel_plan(pnp)
+    solved, res = geometric_ba.make_fused_solver("pinhole")(p2, plan, cfg)
+    poses, rho, res_p = geometric_ba.bundle_adjustment_packed(
+        pnp, "pinhole", cfg
+    )
+    np.testing.assert_allclose(poses, np.asarray(solved.cam_states),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(rho, np.asarray(solved.inv_depth),
+                               rtol=0, atol=0)
+    assert res_p.iterations == int(res.iterations)
+    np.testing.assert_allclose(res_p.cost, float(res.cost), rtol=1e-6)
+
+
+def test_pack_tree_roundtrip():
+    import jax
+    import numpy as np
+
+    from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "a": rng.normal(size=(5, 3)).astype(np.float32),
+        "b": rng.integers(0, 100, (7,)).astype(np.int32),
+        "c": (rng.random(4) > 0.5),
+        "d": rng.normal(size=(2, 2, 2)).astype(np.float32),
+    }
+    bufs, spec = pack_mod.pack_tree(tree)
+    out = jax.jit(
+        lambda b: pack_mod.unpack_tree(b, spec)
+    )(bufs)
+    for k in tree:
+        np.testing.assert_array_equal(np.asarray(out[k]), tree[k])

@@ -91,3 +91,30 @@ def test_ring_match_rejects_indivisible_image_count():
         pair_matching.ring_match_all_pairs(
             desc, valid, mesh, max_matches=16
         )
+
+
+def test_mega_matcher_matches_chunked():
+    """make_mega_pair_matcher == chunk-at-a-time make_pair_matcher with the
+    same per-chunk keys (the mega dispatch is a pure lax.map fold)."""
+    desc, valid, bear = synth_features(I=6, F=64, seed=2)
+    kwargs = dict(
+        max_matches=32, match_max_dist=70, match_ratio=1.2,
+        ransac_thresh=5e-5, ransac_min_inliers=8, ransac_hypotheses=16,
+    )
+    chunked = pair_matching.make_pair_matcher(desc, valid, bear, **kwargs)
+    mega = pair_matching.make_mega_pair_matcher(desc, valid, bear, **kwargs)
+
+    G, C = 3, 4
+    rng = np.random.default_rng(0)
+    i1 = rng.integers(1, 6, (G, C)).astype(np.int32)
+    i2 = np.zeros((G, C), np.int32)
+    keys = jax.random.split(jax.random.PRNGKey(7), G)
+
+    out_m = mega(jnp.asarray(i1), jnp.asarray(i2), keys)
+    # mega returns the host-consumed subset: (pairs int16, count, T, inl)
+    for g in range(G):
+        pairs, pvalid, count, T, inl, n_inl = chunked(
+            jnp.asarray(i1[g]), jnp.asarray(i2[g]), keys[g]
+        )
+        for a, b in zip(out_m, (pairs.astype(jnp.int16), count, T, inl)):
+            np.testing.assert_array_equal(np.asarray(a[g]), np.asarray(b))
