@@ -152,10 +152,10 @@ def build_pba_step(dtype, use_kernel: bool, sample_bf16: bool = False,
         def lm_step(problem, c):
             images, consts, mplan = c
             with jax.default_matmul_precision("float32"):
-                cost, neq = pba_mega.build_mega(
+                cost, neq = pba_mega.build_mega2(
                     "pinhole", images, problem, consts, mplan, cfg, HW=HW
                 )
-                dc, dp = pba_mega.solve_lam(
+                dc, dp = pba_mega.solve_lam2(
                     neq, jnp.asarray(1e-4, problem.inv_depth.dtype),
                     ~problem.fixed_cams, cfg,
                 )

@@ -114,9 +114,9 @@ def _warp_geo(model: str, cam_states, inv_depth, consts, slots=None):
             inv_depth[None, :], (slots, L)
         ).reshape(1, slots * L)                         # (1, O)
     else:
-        lmstate = jnp.pad(inv_depth[:, None], ((0, 0), (0, 7)))
-        lmrows = jax.lax.optimization_barrier(lmstate[consts["lm"]])
-        rho = lmrows[:, 0][None, :]                     # (1, O)
+        rho = pba_mega._state_row_gather(
+            inv_depth, consts["lm"]
+        )[None, :]                                      # (1, O)
     Ra = pba_mega._rot_planes(pa[:, 3:7])
     Rc = pba_mega._rot_planes(pc[:, 3:7])
     M = [[sum(Rc[i][j] * Ra[i][c_] for i in range(3))[None, :]

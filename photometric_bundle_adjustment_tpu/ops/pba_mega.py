@@ -43,9 +43,12 @@ residual+Jacobian evaluation runs in GROUP ORDER end-to-end:
     y-taps <=2^-8 relative, f32 accumulation) for a ~1 ms/build cut.
 
 Output packing (one (184, Og) f32 array; rows):
-  [0:104)    J_geo * sw, k-major (row k*P + p), k = [t_a(3) phi_a(3)
-             t_c(3) phi_c(3) rho(1)]
-  [104:136)  affine partials * sw: aa, ab, ca, cb blocks of P rows each
+  [0:136)    the sqrt(weight)-scaled Jacobian rows P-MAJOR: row p*17 + c
+             with c the standard W column order [se3_a(6), aff_a(2),
+             se3_c(6), aff_c(2), rho] — i.e. out[:136].T IS the (Og, 136)
+             J2 matrix the pair-Gram assembly consumes (round 5; the
+             k-major layout of round 4 forced a 136-column lane gather on
+             every build)
   [136:144)  r * sw
   144        per-observation robust cost (0.5 rho(|r|^2))
   [145:162)  A0 in W-column order [k0..5, aa, ab, k6..11, ca, cb, k12]
@@ -99,21 +102,10 @@ OUT_ROWS = 184   # 179 payload rows padded to a sublane multiple
 ROW_COST = 144
 _SEG_GROUPS = 1536  # bounds scalar-prefetch SMEM residency (see patch_sample)
 
-# W-column order (the standard 17-wide tangent layout of optim/fused.py:
-# [se3_a(6), aff_a(2), se3_c(6), aff_c(2), rho]) expressed as output-row
-# block starts: k-major geo rows then the four affine blocks.
-_W_BLOCK_ROWS = (
-    [k * P for k in range(6)]          # c = 0..5   -> k0..5
-    + [104, 112]                       # c = 6, 7   -> aa, ab
-    + [(k + 6) * P for k in range(6)]  # c = 8..13  -> k6..11
-    + [120, 128]                       # c = 14, 15 -> ca, cb
-    + [96]                             # c = 16     -> k12 (rho)
-)
-
-# J2 standard p-major column j = p*17 + c  ->  kernel output row
-PERMCOLS = np.array(
-    [_W_BLOCK_ROWS[c] + p for p in range(P) for c in range(17)], np.int32
-)
+# (round 5) the kernel writes its Jacobian rows p-major in W order
+# directly, so no J2 column permutation exists anymore; the identity is
+# kept only for diagnostics that still reference it.
+PERMCOLS = np.arange(136, dtype=np.int32)
 
 
 class MegaConsts(NamedTuple):
@@ -321,6 +313,21 @@ def make_mega_consts(model: str, problem_slot: ba.BAProblem, meta,
 # ---------------------------------------------------------------------------
 
 
+def _state_row_gather(vec, idx):
+    """``vec (L,)`` gathered at ``idx (N,)`` through the 8-wide row-gather
+    fast path.  1-D gathers lower to a pathological per-element loop on
+    TPU (measured ~0.3 ms for 41k elements).  The state is broadcast to
+    8 IDENTICAL columns behind an optimization barrier, row-gathered, and
+    reduced by sum/8 — exact in f32 (x*8 and /8 are exact), and neither
+    the zero-pad simplification (sum of pad = column 0) nor a narrowing
+    slice can fold the gather back to 1-D through the barrier, which both
+    defeated the earlier pad-and-slice formulations."""
+    wide = jax.lax.optimization_barrier(
+        jnp.broadcast_to(vec[:, None], (vec.shape[0], 8))
+    )
+    return wide[idx].sum(axis=1) * 0.125
+
+
 def _rot_planes(q):
     """Unit quaternion rows (N, 4) -> 3x3 list of (N,) rotation entries
     (same element formulas as se3.quat_to_matrix)."""
@@ -346,13 +353,7 @@ def warp_slabs(model: str, cam_states, inv_depth, consts: MegaConsts):
     poses = cam_states.pose                        # (K, 7)
     pa = poses[consts.an]                          # (Og, 7)
     pc = poses[consts.tn]
-    # 1-D gathers lower to a pathological per-element loop on TPU (measured
-    # 350 us for 41k elements); pad the landmark state to 8-wide rows so
-    # the fast row-gather path applies (~8 us).  The barrier stops XLA from
-    # narrowing the gather back to one column.
-    lmstate = jnp.pad(inv_depth[:, None], ((0, 0), (0, 7)))
-    lmrows = jax.lax.optimization_barrier(lmstate[consts.lm])  # (Og, 8)
-    rho = lmrows[:, 0][None, :]                    # (1, Og)
+    rho = _state_row_gather(inv_depth, consts.lm)[None, :]  # (1, Og)
     Ra = _rot_planes(pa[:, 3:7])
     Rc = _rot_planes(pc[:, 3:7])
     # M[j][c] = sum_i Rc[i][j] Ra[i][c]  (M = Rc^T Ra);  u_j = Rc^T (ta-tc)
@@ -648,11 +649,15 @@ def _make_kernel(huber_delta: float, H: int, W: int, mode: str = "full",
             axis=0,
         )
 
-        out_ref[0:104, :] = Jgeo
-        out_ref[104:112, :] = J_aa
-        out_ref[112:120, :] = J_ab
-        out_ref[120:128, :] = J_ca
-        out_ref[128:136, :] = J_cb
+        # J rows are written P-MAJOR (row p*17 + c, c in W order): the
+        # camera-pair Gram consumes (obs, p*17+c) rows directly, so the
+        # (Og, 136) column permutation the k-major layout forced on every
+        # build (~0.3-0.5 ms as an XLA lane-gather) disappears.  The
+        # interleave here is a static sublane shuffle of VMEM rows.
+        out_ref[0:136, :] = jnp.concatenate(
+            [blocks17[c][p: p + 1, :] for p in range(P) for c in range(17)],
+            axis=0,
+        )
         out_ref[136:144, :] = rsw
         out_ref[144:145, :] = cost_row
         out_ref[145:162, :] = A0
@@ -795,8 +800,9 @@ def build_mega(model: str, images3d, problem: ba.BAProblem,
     outT = out.T                                       # (Og, 184)
     dtype = outT.dtype
 
-    # H_cc via camera-pair Gram chunks over group rows
-    J2 = outT[:, jnp.asarray(PERMCOLS)]                # (Og, 136)
+    # H_cc via camera-pair Gram chunks over group rows (the kernel emits
+    # J rows p-major = the standard J2 column order; no permutation)
+    J2 = outT[:, :136]                                 # (Og, 136)
     rows = J2[plan.pg]                                 # (NCp, Bp, 136)
     rows2 = rows.reshape(rows.shape[0], -1, 17)[..., :16]
     G2 = jnp.einsum("nbi,nbj->nij", rows2, rows2)      # (NCp, 16, 16)
@@ -846,6 +852,129 @@ def build_mega(model: str, images3d, problem: ba.BAProblem,
 
     H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C, K * C)
     return cost, (H_cc_mat, S_corr0, rhs_corr0, H_pp, g_c, g_p, M, inv0)
+
+
+def build_mega2(model: str, images3d, problem: ba.BAProblem,
+                consts: MegaConsts, plan: MegaPlan, cfg: ba.BAConfig,
+                HW, interpret: bool = False):
+    """Round-5 assembly redesign of :func:`build_mega` (the geo_mega v2
+    treatment applied to the photometric build):
+
+      * the 136-column lane PERMUTATION of the kernel output is GONE —
+        the kernel now emits its Jacobian rows p-major in W order, so the
+        camera-pair Gram consumes out[:136].T directly,
+      * the camera lifts (g_c, Schur coupling) are compare+multiply+reduce
+        with the anchor as one extra virtual slot (exact f32; the one-hot
+        MATMULS of v1 both rounded at matmul precision and cost extra
+        passes),
+      * the coupling is pre-scaled by sqrt(inv0) during the lift, so the
+        gram  S_corr0 = Ms^T Ms  needs no separate weighted copy.
+
+    Returns ``(cost, neq)`` with the v2 contract consumed by
+    :func:`solve_lam2`: ``(H_cc_mat, S_corr0, rhs_corr0, g_c, g_p,
+    Ms (L, K*C), inv0, s)``.  Parity with build_mega + solve_lam is
+    tested at the damped-solve output (tests/test_pba_mega.py)."""
+    C = 8
+    K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
+    L = problem.inv_depth.shape[0]
+
+    ux, uy, fin, GA, GB = warp_slabs(
+        model, problem.cam_states, problem.inv_depth, consts
+    )
+    affp = jnp.pad(problem.cam_states.affine, ((0, 0), (0, 6)))  # (K, 8)
+    aff_a = affp[consts.an]
+    aff_t = affp[consts.tn]
+    aff = jnp.stack(
+        [aff_a[:, 0], aff_a[:, 1], aff_t[:, 0], aff_t[:, 1]], axis=0
+    )
+
+    out = mega_rj(images3d, ux, uy, GA, GB, consts.refp, aff,
+                  consts.iog, consts.cnt, consts.ictl, consts.inxt, HW=HW,
+                  huber_delta=float(cfg.huber_delta), interpret=interpret,
+                  bf16=bool(getattr(cfg, "sample_bf16", False)))
+
+    cost = jnp.sum(out[ROW_COST])
+    dtype = out.dtype
+
+    # H_cc pair gram over the kernel's p-major J rows (standard J2 order)
+    X = out[:136].T                                     # (Og, 136)
+    rows = X[plan.pg]                                   # (NCp, Bp, 136)
+    rows2 = rows.reshape(rows.shape[0], -1, 17)[..., :16]
+    G2 = jnp.einsum("nbi,nbj->nij", rows2, rows2)       # (NCp, 16, 16)
+    blocks = jnp.stack(
+        [G2[:, :C, :C], G2[:, :C, C:], G2[:, C:, :C], G2[:, C:, C:]],
+        axis=1,
+    ).reshape(-1, C * C)
+    H_cc = (
+        jnp.zeros((K * K + 1, C * C), dtype)
+        .at[plan.cc_rows4.reshape(-1)]
+        .add(blocks)[: K * K]
+        .reshape(K, K, C, C)
+    )
+    H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C, K * C)
+
+    # payload rows gathered to slot order (A0/A1 already in W order)
+    AB = out[145:179].T[plan.g_of_s]                    # (Os, 34)
+    S_ = plan.lm_cam.shape[0]
+    A0r = AB[:, :17].reshape(S_, L, 17)
+    A1r = AB[:, 17:].reshape(S_, L, 17)
+    red0 = A0r.sum(0)                                   # (L, 17)
+    anchor_v = red0[:, :C]
+    H_pp = red0[:, 16]
+    g_p = A1r[:, :, 16].sum(0)
+
+    lm_mask = problem.lm_valid.astype(dtype)
+    inv0 = lm_mask / jnp.maximum(H_pp, cfg.min_inv_depth_hessian)
+    s = jnp.sqrt(inv0)
+
+    # extended-slot compare-reduce lifts (anchor = one extra virtual slot)
+    iot = jnp.arange(K, dtype=jnp.int32)
+    lm_cam_ext = jnp.concatenate(
+        [jnp.asarray(plan.lm_cam),
+         jnp.asarray(plan.anchor_cam_of_lm)[None]], axis=0,
+    )                                                   # (S+1, L)
+    msk = (lm_cam_ext[:, :, None] == iot).astype(dtype)  # (S+1, L, K)
+    vt_ext = jnp.concatenate(
+        [A0r[:, :, C:2 * C], anchor_v[None]], axis=0
+    ) * s[None, :, None]                                # (S+1, L, C)
+    Ms = jnp.sum(
+        msk[:, :, :, None] * vt_ext[:, :, None, :], axis=0
+    ).reshape(L, K * C)
+    a1_ext = jnp.concatenate(
+        [A1r[:, :, C:2 * C], A1r[:, :, :C].sum(0)[None]], axis=0
+    )                                                   # (S+1, L, C)
+    g_c = jnp.sum(msk[:, :, :, None] * a1_ext[:, :, None, :], axis=(0, 1))
+
+    if cfg.skip_schur_gram:
+        S_corr0 = None
+    else:
+        prec = (jax.lax.Precision.HIGH
+                if cfg.schur_matmul_precision == "high"
+                else jax.lax.Precision.HIGHEST)
+        S_corr0 = jax.lax.dot_general(
+            Ms, Ms, (((0,), (0,)), ((), ())), precision=prec
+        )                                               # (K*C, K*C)
+    rhs_corr0 = (s * g_p) @ Ms
+    return cost, (H_cc_mat, S_corr0, rhs_corr0, g_c, g_p, Ms, inv0, s)
+
+
+def solve_lam2(neq, lam, free_cam_mask, cfg: ba.BAConfig):
+    """Damped solve + back-substitution for the v2 neq contract (scaled
+    (L, K*C) coupling: (M @ dc) * inv0 == s * (Ms @ dc))."""
+    H_cc_mat, S_corr0, rhs_corr0, g_c, g_p, Ms, inv0, s = neq
+    KC = H_cc_mat.shape[0]
+    K = free_cam_mask.shape[0]
+    C_ = KC // K
+    dtype = g_c.dtype
+    d_cc = jnp.clip(jnp.diagonal(H_cc_mat), 1e-12, 1e32)
+    S = H_cc_mat + jnp.diag(lam * d_cc) - S_corr0 / (1.0 + lam)
+    rhs = -(g_c.reshape(-1) - rhs_corr0 / (1.0 + lam))
+    mask = jnp.repeat(free_cam_mask.astype(dtype), C_)
+    S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+    cho = jax.scipy.linalg.cho_factor(S, lower=True)
+    delta_c = jax.scipy.linalg.cho_solve(cho, rhs * mask) * mask
+    delta_p = -(g_p * inv0 + s * (Ms @ delta_c)) / (1.0 + lam)
+    return delta_c.reshape(K, C_), delta_p
 
 
 def build_chunk_mega_plan(problem: ba.BAProblem, n_images: int, *,
@@ -919,7 +1048,7 @@ def build_mega_chunk(model: str, images3d, problem: ba.BAProblem,
     outT = jnp.pad(out.T, ((0, 1), (0, 0)))            # (Og+1, 184)
     dtype = outT.dtype
 
-    J2 = outT[:, jnp.asarray(PERMCOLS)]                # (Og+1, 136)
+    J2 = outT[:, :136]                                 # (Og+1, 136)
     rows = J2[cplan.pg]                                # (NCp, Bp, 136)
     rows2 = rows.reshape(rows.shape[0], -1, 17)[..., :16]
     G2 = jnp.einsum("nbi,nbj->nij", rows2, rows2)
@@ -1027,12 +1156,15 @@ def make_mega_solver(model: str, images_flat: jax.Array, H: int, W: int,
         plan, meta, idx_arrays = build_mega_plan(
             problem_slot, plan_slot, n_images, pow2_buckets=pow2_buckets
         )
-        build_impl = build_mega
+        # round-5 v2 assembly (exact compare-reduce lifts, scaled gram)
+        build_impl = build_mega2
+        solve_lam_impl = solve_lam2
     else:
         plan, meta, idx_arrays = build_chunk_mega_plan(
             problem_slot, n_images, pow2_buckets=pow2_buckets
         )
         build_impl = build_mega_chunk
+        solve_lam_impl = solve_lam
     consts = make_mega_consts(model, problem_slot, meta, idx_arrays)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -1044,7 +1176,7 @@ def make_mega_solver(model: str, images_flat: jax.Array, H: int, W: int,
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def _solve_lam(neq, lam, free, cfg):
         with jax.default_matmul_precision("float32"):
-            return solve_lam(neq, lam, free, cfg)
+            return solve_lam_impl(neq, lam, free, cfg)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def _solve(img, problem, consts, plan, cfg):
@@ -1067,7 +1199,7 @@ def make_mega_solver(model: str, images_flat: jax.Array, H: int, W: int,
 
             def body(state):
                 prob, lam, cost, neq, rejects, iters, tries, done = state
-                dc, dp = solve_lam(neq, lam, free, cfg)
+                dc, dp = solve_lam_impl(neq, lam, free, cfg)
                 p_try = apply_step(prob, dc, dp)
                 cost_try, neq_try = build_impl(
                     model, img, p_try, consts, plan, cfg, HW=HW,

@@ -13,6 +13,7 @@ import pytest
 
 from photometric_bundle_adjustment_tpu.core import camera_slab, cameras
 from photometric_bundle_adjustment_tpu.models import photometric_ba as pba
+from photometric_bundle_adjustment_tpu.models import synthetic
 from photometric_bundle_adjustment_tpu.optim import ba, fused
 from photometric_bundle_adjustment_tpu.ops import pba_mega
 
@@ -84,7 +85,14 @@ def test_mega_build_matches_gather_build():
     mega = pba_mega.make_mega_solver(
         model, images_flat, H, W, problem2, n_images, plan, interpret=True
     )
-    cost, neq = mega.build(problem2, cfg)
+    # golden neq comparison against the V1 assembly contract (the solver
+    # itself now runs the v2 assembly; v2-vs-v1 parity is tested at the
+    # damped-solve output in test_mega2_matches_mega_deltas)
+    with jax.default_matmul_precision("float32"):
+        cost, neq = pba_mega.build_mega(
+            model, mega.images_pad, problem2, mega.consts, mega.plan,
+            cfg, HW=mega.HW, interpret=True,
+        )
 
     np.testing.assert_allclose(float(cost), float(ref_cost), rtol=2e-4)
     names = ["H_cc", "S_corr0", "rhs_corr0", "H_pp", "g_c", "g_p", "M",
@@ -130,7 +138,14 @@ def test_mega_build_matches_gather_build_ds():
     mega = pba_mega.make_mega_solver(
         model, images_flat, H, W, problem2, n_images, plan, interpret=True
     )
-    cost, neq = mega.build(problem2, cfg)
+    # golden neq comparison against the V1 assembly contract (the solver
+    # itself now runs the v2 assembly; v2-vs-v1 parity is tested at the
+    # damped-solve output in test_mega2_matches_mega_deltas)
+    with jax.default_matmul_precision("float32"):
+        cost, neq = pba_mega.build_mega(
+            model, mega.images_pad, problem2, mega.consts, mega.plan,
+            cfg, HW=mega.HW, interpret=True,
+        )
 
     np.testing.assert_allclose(float(cost), float(ref_cost), rtol=2e-4)
     for a, b in zip(neq, ref_neq):
@@ -277,3 +292,40 @@ def test_mega_build_bf16_tier():
             a, b, atol=3e-2 * scale, rtol=5e-2,
             err_msg=f"bf16 neq piece {name} diverges beyond the tier",
         )
+
+
+def test_mega2_matches_mega_deltas():
+    """Round-5 v2 assembly (build_mega2 + solve_lam2: p-major kernel rows,
+    exact compare-reduce lifts, sqrt(inv0)-scaled coupling) produces the
+    same cost and matching damped-solve deltas as v1."""
+    problem, images_flat, H, W, _, _ = synthetic.synth_pba_problem(
+        K=6, L=64, dtype=jnp.float32, seed=4
+    )
+    problem, dplan = fused.densify_problem(problem, pow2_buckets=False)
+    n_images = problem.cam_states.pose.shape[0]
+    mega = pba_mega.make_mega_solver(
+        "pinhole", images_flat, H, W, problem, n_images, dplan,
+        interpret=True,
+    )
+    cfg = ba.BAConfig(max_iterations=1, huber_delta=9.0,
+                      schur_matmul_precision="highest")
+    lam = jnp.asarray(1e-4, jnp.float32)
+    free = ~problem.fixed_cams
+    with jax.default_matmul_precision("float32"):
+        c1, neq1 = pba_mega.build_mega(
+            "pinhole", mega.images_pad, problem, mega.consts, mega.plan,
+            cfg, HW=mega.HW, interpret=True,
+        )
+        dc1, dp1 = pba_mega.solve_lam(neq1, lam, free, cfg)
+        c2, neq2 = pba_mega.build_mega2(
+            "pinhole", mega.images_pad, problem, mega.consts, mega.plan,
+            cfg, HW=mega.HW, interpret=True,
+        )
+        dc2, dp2 = pba_mega.solve_lam2(neq2, lam, free, cfg)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-6)
+    sc = max(float(jnp.abs(dc1).max()), 1e-9)
+    sp = max(float(jnp.abs(dp1).max()), 1e-9)
+    np.testing.assert_allclose(np.asarray(dc2), np.asarray(dc1),
+                               atol=2e-3 * sc)
+    np.testing.assert_allclose(np.asarray(dp2), np.asarray(dp1),
+                               atol=2e-3 * sp)
