@@ -292,12 +292,25 @@ def real_roots(coeffs, max_roots, n_grid=256, n_bisect=14, n_newton=3):
     E-recovery test bound that risk empirically at 256 points.
     """
     dtype = coeffs.dtype
+    D = coeffs.shape[-1] - 1
     scale = jnp.max(jnp.abs(coeffs))
     det = coeffs / jnp.maximum(scale, jnp.finfo(dtype).tiny)
 
     theta = jnp.linspace(-np.pi / 2, np.pi / 2, n_grid,
                          dtype=dtype)[1:-1]
-    q = _eval_homog(det, jnp.sin(theta), jnp.cos(theta))
+    # the GRID evaluation is one matmul against a static power table
+    # P[i, g] = s_g^(D-i) c_g^i (the grid is static): under the RANSAC
+    # vmap this turns 4096 x 254 elementwise homogeneous evaluations
+    # (~1 ms/chunk of VPU time, the round-4 profile's largest nister
+    # piece) into a single (B, D+1) x (D+1, G) MXU product.  HIGHEST
+    # precision: sign changes near zero pick the root brackets.
+    th_np = np.linspace(-np.pi / 2, np.pi / 2, n_grid)[1:-1]
+    P_np = np.stack(
+        [np.sin(th_np) ** (D - i) * np.cos(th_np) ** i
+         for i in range(D + 1)], axis=0,
+    )
+    q = jnp.dot(det, jnp.asarray(P_np, dtype),
+                precision=jax.lax.Precision.HIGHEST)
     change = (q[:-1] * q[1:]) < 0.0  # (n_grid - 3,)
     n = change.shape[0]
     score = change.astype(dtype) * (2.0 * n - jnp.arange(n, dtype=dtype))
