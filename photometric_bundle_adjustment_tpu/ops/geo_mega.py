@@ -371,13 +371,19 @@ def build_geo_dense2(model: str, problem: ba.BAProblem, consts, plan,
         [G2[:, :C, :C], G2[:, :C, C:], G2[:, C:, :C], G2[:, C:, C:]],
         axis=1,
     ).reshape(-1, C * C)
+    # COMPONENT-MAJOR reduced-system ordering (row r = c*K + k): the
+    # camera-major (K, C, K, C) block transpose puts C = 6 in the minor
+    # LANES (21x tile padding — measured 0.35 ms of pure relayout); with
+    # components major the intermediate is (C, K, C, K) whose minor dims
+    # (C sublanes, K lanes) pad only ~1.7x.  The ordering is internal to
+    # this build + solve_lam2 (the delta reshapes back to (K, C)).
     H_cc = (
         jnp.zeros((K * K + 1, C * C), dtype)
         .at[jnp.asarray(plan.cc_rows4).reshape(-1)]
         .add(blocks)[: K * K]
         .reshape(K, K, C, C)
     )
-    H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C, K * C)
+    H_cc_mat = jnp.transpose(H_cc, (2, 0, 3, 1)).reshape(K * C, K * C)
 
     # plane-layout landmark reductions: (rows, S, L) sums over slots
     A0p = plane[29:42].reshape(13, S_, L)
@@ -398,8 +404,8 @@ def build_geo_dense2(model: str, problem: ba.BAProblem, consts, plan,
     # Padding slots carry camera id K, matching no iota row.  The anchor
     # contribution rides as one EXTRA virtual slot (consts["lm_cam_ext"]
     # stacks anchor_cam_of_lm under lm_cam) so the reduce lands directly
-    # in the 2-D (K*C, L) layout — the separate (K, C, L) sum + anchor
-    # add + reshape materialized the 39 MB coupling twice (~0.2 ms).
+    # in the 2-D (C*K, L) layout — the separate 3-D sum + anchor add +
+    # reshape materialized the 39 MB coupling twice (~0.2 ms).
     iot = jnp.arange(K, dtype=jnp.int32)
     msk = (consts["lm_cam_ext"][None] == iot[:, None, None]
            ).astype(dtype)                              # (K, S+1, L)
@@ -408,14 +414,14 @@ def build_geo_dense2(model: str, problem: ba.BAProblem, consts, plan,
          (anchor_v * s[None, :])[:, None, :]], axis=1,
     )                                                   # (C, S+1, L)
     Ms_p = jnp.sum(
-        (msk[:, None] * vt_ext[None]).reshape(K * C, S_ + 1, L), axis=1
-    )                                                   # (K*C, L)
+        (vt_ext[:, None] * msk[None]).reshape(C * K, S_ + 1, L), axis=1
+    )                                                   # (C*K, L)
 
-    # g_c through the same extended-slot lift on A1
+    # g_c through the same extended-slot lift on A1 ((C, K), c-major)
     a1_ext = jnp.concatenate(
         [A1p[C:2 * C], a1red[:C][:, None, :]], axis=1
     )                                                   # (C, S+1, L)
-    g_c = jnp.sum(msk[:, None] * a1_ext[None], axis=(2, 3))
+    g_c = jnp.sum(a1_ext[:, None] * msk[None], axis=(2, 3))
 
     if cfg.skip_schur_gram:
         S_corr0 = None
@@ -432,8 +438,9 @@ def build_geo_dense2(model: str, problem: ba.BAProblem, consts, plan,
 
 def solve_lam2(neq, lam, free_cam_mask, cfg: ba.BAConfig):
     """Per-lambda dense solve + back-substitution for the v2 neq contract
-    (scaled transposed coupling; no unscaled M needed:
-    (M @ dc) * inv0 == s * (dc @ Ms_p) with s = sqrt(inv0))."""
+    (COMPONENT-MAJOR reduced system, row c*K + k; scaled transposed
+    coupling — no unscaled M needed: (M @ dc) * inv0 == s * (dc @ Ms_p)
+    with s = sqrt(inv0))."""
     H_cc_mat, S_corr0, rhs_corr0, g_c, g_p, Ms_p, inv0, s = neq
     KC = H_cc_mat.shape[0]
     K = free_cam_mask.shape[0]
@@ -442,12 +449,12 @@ def solve_lam2(neq, lam, free_cam_mask, cfg: ba.BAConfig):
     d_cc = jnp.clip(jnp.diagonal(H_cc_mat), 1e-12, 1e32)
     S = H_cc_mat + jnp.diag(lam * d_cc) - S_corr0 / (1.0 + lam)
     rhs = -(g_c.reshape(-1) - rhs_corr0 / (1.0 + lam))
-    mask = jnp.repeat(free_cam_mask.astype(dtype), C_)
+    mask = jnp.tile(free_cam_mask.astype(dtype), C_)
     S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
     cho = jax.scipy.linalg.cho_factor(S, lower=True)
     delta_c = jax.scipy.linalg.cho_solve(cho, rhs * mask) * mask
     delta_p = -(g_p * inv0 + s * (delta_c @ Ms_p)) / (1.0 + lam)
-    return delta_c.reshape(K, C_), delta_p
+    return delta_c.reshape(C_, K).T, delta_p
 
 
 def make_geo_solver(model: str, problem: ba.BAProblem,

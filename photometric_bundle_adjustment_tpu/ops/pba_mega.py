@@ -905,13 +905,17 @@ def build_mega2(model: str, images3d, problem: ba.BAProblem,
         [G2[:, :C, :C], G2[:, :C, C:], G2[:, C:, :C], G2[:, C:, C:]],
         axis=1,
     ).reshape(-1, C * C)
+    # COMPONENT-MAJOR reduced system (row c*K + k, as geo_mega v2): the
+    # camera-major block transpose put C = 8 in the minor lanes (16x tile
+    # padding); component-major's minor dims (C sublanes, K lanes) pad
+    # not at all for C = 8
     H_cc = (
         jnp.zeros((K * K + 1, C * C), dtype)
         .at[plan.cc_rows4.reshape(-1)]
         .add(blocks)[: K * K]
         .reshape(K, K, C, C)
     )
-    H_cc_mat = jnp.transpose(H_cc, (0, 2, 1, 3)).reshape(K * C, K * C)
+    H_cc_mat = jnp.transpose(H_cc, (2, 0, 3, 1)).reshape(K * C, K * C)
 
     # payload rows gathered to slot order (A0/A1 already in W order)
     AB = out[145:179].T[plan.g_of_s]                    # (Os, 34)
@@ -938,12 +942,12 @@ def build_mega2(model: str, images3d, problem: ba.BAProblem,
         [A0r[:, :, C:2 * C], anchor_v[None]], axis=0
     ) * s[None, :, None]                                # (S+1, L, C)
     Ms = jnp.sum(
-        msk[:, :, :, None] * vt_ext[:, :, None, :], axis=0
-    ).reshape(L, K * C)
+        vt_ext[:, :, :, None] * msk[:, :, None, :], axis=0
+    ).reshape(L, C * K)                                 # c-major columns
     a1_ext = jnp.concatenate(
         [A1r[:, :, C:2 * C], A1r[:, :, :C].sum(0)[None]], axis=0
     )                                                   # (S+1, L, C)
-    g_c = jnp.sum(msk[:, :, :, None] * a1_ext[:, :, None, :], axis=(0, 1))
+    g_c = jnp.sum(a1_ext[:, :, :, None] * msk[:, :, None, :], axis=(0, 1))
 
     if cfg.skip_schur_gram:
         S_corr0 = None
@@ -959,8 +963,9 @@ def build_mega2(model: str, images3d, problem: ba.BAProblem,
 
 
 def solve_lam2(neq, lam, free_cam_mask, cfg: ba.BAConfig):
-    """Damped solve + back-substitution for the v2 neq contract (scaled
-    (L, K*C) coupling: (M @ dc) * inv0 == s * (Ms @ dc))."""
+    """Damped solve + back-substitution for the v2 neq contract
+    (COMPONENT-MAJOR reduced system, row c*K + k; scaled (L, C*K)
+    coupling: (M @ dc) * inv0 == s * (Ms @ dc))."""
     H_cc_mat, S_corr0, rhs_corr0, g_c, g_p, Ms, inv0, s = neq
     KC = H_cc_mat.shape[0]
     K = free_cam_mask.shape[0]
@@ -969,12 +974,12 @@ def solve_lam2(neq, lam, free_cam_mask, cfg: ba.BAConfig):
     d_cc = jnp.clip(jnp.diagonal(H_cc_mat), 1e-12, 1e32)
     S = H_cc_mat + jnp.diag(lam * d_cc) - S_corr0 / (1.0 + lam)
     rhs = -(g_c.reshape(-1) - rhs_corr0 / (1.0 + lam))
-    mask = jnp.repeat(free_cam_mask.astype(dtype), C_)
+    mask = jnp.tile(free_cam_mask.astype(dtype), C_)
     S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
     cho = jax.scipy.linalg.cho_factor(S, lower=True)
     delta_c = jax.scipy.linalg.cho_solve(cho, rhs * mask) * mask
     delta_p = -(g_p * inv0 + s * (Ms @ delta_c)) / (1.0 + lam)
-    return delta_c.reshape(K, C_), delta_p
+    return delta_c.reshape(C_, K).T, delta_p
 
 
 def build_chunk_mega_plan(problem: ba.BAProblem, n_images: int, *,
