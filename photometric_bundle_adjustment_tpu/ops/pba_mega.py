@@ -452,6 +452,9 @@ def _make_kernel(huber_delta: float, H: int, W: int, mode: str = "full",
     3-pass f32 emulation; accumulation stays f32."""
     Q = 2 * P
     R3 = 3 * P
+    # f32 tier = split-bf16x3 sampling (hi/lo images + hi/lo value taps);
+    # bf16 tier = hi-only single pass
+    split = sample_dtype == jnp.float32
 
     def kernel(iog_ref, cnt_ref, code_ref, ictl_ref, inxt_ref,
                ux_ref, uy_ref, wsy_ref,
@@ -540,32 +543,68 @@ def _make_kernel(huber_delta: float, H: int, W: int, mode: str = "full",
         ioy = jax.lax.broadcasted_iota(jnp.int32, (P, GROUP, TILE_H), 2)
         isy0 = (ioy == cyi[:, :, None]).astype(dtype)
         isy1 = (ioy == cyi[:, :, None] + 1).astype(dtype)
-        wy23[0:P] = (
-            isy0 * (1.0 - fy[:, :, None]) + isy1 * fy[:, :, None]
-        ).astype(sample_dtype)
-        wy23[P:Q] = (isy1 - isy0).astype(sample_dtype)
+        # split-bf16 tap weights: hi rows always; the f32 tier adds the
+        # value-tap residual rows (derivative taps are +-1/0 — exact in
+        # bf16, no residual)
+        wv = isy0 * (1.0 - fy[:, :, None]) + isy1 * fy[:, :, None]
+        wv_hi = wv.astype(jnp.bfloat16)
+        wy23[0:P] = wv_hi
+        wy23[P:Q] = (isy1 - isy0).astype(jnp.bfloat16)
+        if split:
+            wy23[Q:Q + P] = (
+                wv - wv_hi.astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+
+        # the image halves: hi in lanes [0, Wpk), lo residual in
+        # [Wpk, 2*Wpk) (split_pack_images)
+        Wpk = img_ref.shape[2] // 2
 
         if mode != "weights_only":
             for t in range(GROUP):
                 @pl.when(t < cnt)
                 def _(t=t):
                     code = code_ref[base + t]
-                    # buf folds into the row offset: imgbuf is (2*Hi, Wp)
+                    # buf folds into the row offset: imgbuf is (2*Hi, 2*Wpk)
                     y0 = pl.multiple_of(
                         (code >> 14) * 8 + buf * Hi, 8
                     )
                     x0 = pl.multiple_of(((code >> 7) & 0x7F) * 128, 128)
-                    tile = imgbuf[pl.ds(y0, TILE_H), pl.ds(x0, TILE_W)]
+                    t_hi = imgbuf[pl.ds(y0, TILE_H), pl.ds(x0, TILE_W)]
                     # bf16 inputs must carry DEFAULT precision: an ambient
                     # default_matmul_precision("float32") would stamp the
                     # op contract_precision<fp32>, which Mosaic rejects
                     # for non-f32 operands ("Bad lhs type")
-                    ty3[:, t, :] = jnp.dot(
-                        wy23[:, t, :], tile.astype(sample_dtype),
-                        preferred_element_type=jnp.float32,
-                        precision=(jax.lax.Precision.DEFAULT
-                                   if sample_dtype != jnp.float32 else None),
-                    )
+                    if split:
+                        # THREE single-pass bf16 dots (measured faster
+                        # than folding the lo taps into one M=24 pass —
+                        # pass cost steps at sublane-tile granularity):
+                        # hi taps x hi image, lo value-taps x hi image,
+                        # hi taps x lo image
+                        d1 = jnp.dot(
+                            wy23[0:Q, t, :], t_hi,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT,
+                        )
+                        d2 = jnp.dot(
+                            wy23[Q:R3, t, :], t_hi,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT,
+                        )
+                        x0l = pl.multiple_of(Wpk + x0, 128)
+                        t_lo = imgbuf[pl.ds(y0, TILE_H), pl.ds(x0l, TILE_W)]
+                        d3 = jnp.dot(
+                            wy23[0:Q, t, :], t_lo,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT,
+                        )
+                        ty3[0:P, t, :] = d1[0:P] + d2 + d3[0:P]
+                        ty3[P:Q, t, :] = d1[P:Q] + d3[P:Q]
+                    else:
+                        ty3[:, t, :] = jnp.dot(
+                            wy23[0:Q, t, :], t_hi,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT,
+                        )
 
         if mode == "loop_only":
             out_ref[0:P, :] = jnp.sum(ty3[0:P], axis=-1)
@@ -669,6 +708,20 @@ def _make_kernel(huber_delta: float, H: int, W: int, mode: str = "full",
     return kernel
 
 
+def split_pack_images(images3d):
+    """(Kimg, Hp, Wp) f32 -> (Kimg, Hp, 2*Wp) bf16: the hi bf16 image in
+    lanes [0, Wp) and the residual lo = img - hi in [Wp, 2*Wp).  Same
+    total bytes as the f32 stack; lets the kernel's per-body contraction
+    run as THREE single-pass bf16 dots (wy_hi.hi + wy_lo.hi + wy_hi.lo,
+    error ~2^-15 relative, the dropped lo.lo term) instead of XLA's
+    6-pass f32 emulation — measured 0.88 ms/build of pure pass count at
+    EuRoC scale.  Do this ONCE per solve (make_mega_solver); mega_rj
+    packs on the fly only for stray f32 callers."""
+    hi = images3d.astype(jnp.bfloat16)
+    lo = (images3d - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=2)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("HW", "huber_delta", "interpret", "mode", "bf16"),
@@ -678,21 +731,24 @@ def mega_rj(images3d, ux, uy, GA, GB, refp, aff, iog, cnt, ictl, inxt,
             mode: str = "full", bf16: bool = False):
     """Run the megakernel: (184, Og) payload array (see module docstring).
 
-    ``images3d`` must be pad_images-padded; ``aff`` is the (4, Og) affine
-    slab [a_r, b_r, a_t, b_t]; ``ux``/``uy`` are the (P, Og) projected
-    pixel planes from ``warp_slabs`` (non-finite projections encoded as
-    -1e6).  ``bf16=True`` samples in bfloat16 (one MXU pass per body
-    instead of the 3-pass f32 emulation; uint8 intensities are exact in
-    bf16, bilinear y-taps lose <=2^-8 relative; f32 accumulation).
+    ``images3d`` is the split-packed bf16 stack (``split_pack_images``;
+    a raw f32 pad_images stack is packed on the fly); ``aff`` is the
+    (4, Og) affine slab [a_r, b_r, a_t, b_t]; ``ux``/``uy`` are the
+    (P, Og) projected pixel planes from ``warp_slabs`` (non-finite
+    projections encoded as -1e6).  The f32 tier samples via the 3-pass
+    weight/image split (error ~2^-15 relative — the dropped lo.lo term);
+    ``bf16=True`` uses the hi image and hi weights only (one MXU pass,
+    <=2^-8 relative, identical numerics to the round-4 bf16 tier).
     """
     H, W = HW
-    Kimg, Hp, Wp = images3d.shape
+    if images3d.dtype != jnp.bfloat16:
+        images3d = split_pack_images(images3d)
+    Kimg, Hp, Wp2 = images3d.shape
+    Wp = Wp2 // 2
     Og = ux.shape[1]
     n_groups = Og // GROUP
     code, wsy = _tile_prologue(ux, uy, H, W, Hp)
     sample_dtype = jnp.bfloat16 if bf16 else jnp.float32
-    if bf16:
-        images3d = images3d.astype(jnp.bfloat16)
     ux = ux.astype(jnp.float32)
     uy = uy.astype(jnp.float32)
     wsy = wsy.astype(jnp.float32)
@@ -729,8 +785,9 @@ def mega_rj(images3d, ux, uy, GA, GB, refp, aff, iog, cnt, ictl, inxt,
             ),
             scratch_shapes=[
                 pltpu.VMEM((2 * P, GROUP, XW), jnp.float32),     # ty3
-                pltpu.VMEM((2 * P, GROUP, TILE_H), sample_dtype),  # wy23
-                pltpu.VMEM((2 * Hp, Wp), images3d.dtype),        # imgbuf
+                # hi taps rows [0, 2P); lo value-tap rows [2P, 3P)
+                pltpu.VMEM((3 * P, GROUP, TILE_H), jnp.bfloat16),  # wy23
+                pltpu.VMEM((2 * Hp, Wp2), jnp.bfloat16),        # imgbuf
                 pltpu.SemaphoreType.DMA,                         # imgsem0
                 pltpu.SemaphoreType.DMA,                         # imgsem1
             ],
@@ -1157,6 +1214,9 @@ def make_mega_solver(model: str, images_flat: jax.Array, H: int, W: int,
 
     images3d = images_flat.reshape(-1, H, W)
     images_pad, HW = ps.pad_images(images3d)
+    # split-packed bf16 stack (hi | lo halves): same bytes as f32, lets
+    # the kernel sample in 1 (bf16 tier) or 3 (f32 tier) MXU passes
+    images_pad = split_pack_images(images_pad)
     if plan_slot is not None:
         plan, meta, idx_arrays = build_mega_plan(
             problem_slot, plan_slot, n_images, pow2_buckets=pow2_buckets
