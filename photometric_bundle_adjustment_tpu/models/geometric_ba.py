@@ -226,9 +226,9 @@ def _packed_solver(model: str):
 
     @functools.partial(_jax.jit, static_argnames=("cfg", "spec"))
     def run(buffers, cfg, spec):
-        problem, plan, ir_idx, it_idx, intr_tab = pack_mod.unpack_tree(
-            buffers, spec
-        )
+        tree = pack_mod.unpack_tree(buffers, spec)
+        problem, plan, ir_idx, it_idx, intr_tab = tree[:5]
+        proj = tree[5] if len(tree) > 5 else None
         aux = problem.obs.aux._replace(
             intr_ref=intr_tab[ir_idx], intr_target=intr_tab[it_idx]
         )
@@ -237,13 +237,39 @@ def _packed_solver(model: str):
         )
         solved, res = solver(problem, plan, cfg)
         dt = solved.cam_states.dtype
-        return _jnp.concatenate([
+        out = [
             solved.cam_states.reshape(-1),
             solved.inv_depth.astype(dt),
             _jnp.stack([res.cost.astype(dt), res.initial_cost.astype(dt),
                         res.lam.astype(dt),
                         res.iterations.astype(dt)]),
-        ])
+        ]
+        if proj is not None:
+            # outlier-pass reprojection CHAINED onto the solved state in
+            # the SAME dispatch: the following remove_outliers stage then
+            # needs no separate upload/dispatch/fetch round trips over
+            # the tunnel (per full run: ~72 cycles x ~4 requests)
+            from photometric_bundle_adjustment_tpu.core import se3 as _se3
+            from photometric_bundle_adjustment_tpu.core import (
+                cameras as _cams,
+            )
+
+            poses = solved.cam_states
+            T_a = poses[proj["an_idx"]]
+            T_t = poses[proj["cam_idx"]]
+            rho_r = solved.inv_depth[proj["lm_idx"]].astype(dt)
+            intr_a = proj["intr_tab"][proj["ia_idx"]]
+            intr_t = proj["intr_tab"][proj["it_idx"]]
+            d = _cams.unproject_unit(model, intr_a, proj["uv_a"])
+            p_w = _se3.act(T_a, d / rho_r[:, None])
+            p_c = _se3.act(_se3.inverse(T_t), p_w)
+            uv_proj = _cams.project(model, intr_t, p_c)
+            err = _jnp.linalg.norm(proj["uv_meas"] - uv_proj, axis=-1)
+            dist = _jnp.linalg.norm(p_c, axis=-1)
+            out.append(_jnp.concatenate([
+                uv_proj, err[:, None], dist[:, None], p_c[:, 2:3]
+            ], axis=1).astype(dt).reshape(-1))
+        return _jnp.concatenate(out)
 
     return run
 
@@ -252,15 +278,23 @@ def bundle_adjustment_packed(
     problem: ba.BAProblem,
     model: str,
     cfg: ba.BAConfig = ba.BAConfig(),
+    proj: dict | None = None,
 ):
     """Accelerator fast path for the incremental pipeline's BA stage:
     same solve as :func:`bundle_adjustment`, but (problem, plan) ride to
     the device as per-dtype packed buffers and the results come back in
     one packed fetch.
 
-    Returns ``(poses (K, 7) np, inv_depth (L,) np, BAResult-host)``.
-    Requires a host-resident (numpy) problem.  Ref: the Ceres solve being
-    replaced, include/visnav/map_utils.h:322-399.
+    ``proj``: optional outlier-pass reprojection rows (numpy dict with
+    uv_a, ia_idx, an_idx, uv_meas, it_idx, cam_idx, lm_idx, intr_tab) —
+    evaluated against the SOLVED state inside the same dispatch; the
+    packed (M, 5) [uv_proj, err, dist, z] block returns with the solve.
+
+    Returns ``(poses (K, 7) np, inv_depth (L,) np, BAResult-host,
+    proj_out (M, 5) np | None)``.  Requires a host-resident (numpy)
+    problem.  Ref: the Ceres solve being replaced,
+    include/visnav/map_utils.h:322-399, and the compute_projections scan
+    it feeds, src/sfm.cpp:1957-2008.
     """
     import numpy as _np
 
@@ -283,9 +317,10 @@ def bundle_adjustment_packed(
         intr_ref=_np.zeros((0,), ir.dtype),
         intr_target=_np.zeros((0,), it.dtype),
     )))
-    buffers, spec = pack_mod.pack_tree(
-        (slim, plan, ir_idx, it_idx, intr_tab)
-    )
+    tree = (slim, plan, ir_idx, it_idx, intr_tab)
+    if proj is not None:
+        tree = tree + (proj,)
+    buffers, spec = pack_mod.pack_tree(tree)
     import jax.numpy as _jnp
 
     packed = _np.asarray(_packed_solver(model)(
@@ -295,11 +330,14 @@ def bundle_adjustment_packed(
     L = problem.inv_depth.shape[0]
     poses = packed[: K * 7].reshape(K, 7)
     rho = packed[K * 7: K * 7 + L]
-    cost, icost, lam, iters = packed[K * 7 + L:]
+    cost, icost, lam, iters = packed[K * 7 + L: K * 7 + L + 4]
+    proj_out = None
+    if proj is not None:
+        proj_out = packed[K * 7 + L + 4:].reshape(-1, 5)
     return poses, rho, ba.BAResult(
         cost=float(cost), initial_cost=float(icost),
         iterations=int(iters), lam=float(lam),
-    )
+    ), proj_out
 
 
 def _accel_plan(problem: ba.BAProblem):

@@ -1452,17 +1452,75 @@ class SfmPipeline:
         )
         return problem, cam_list, lm_list
 
+    def _projection_rows_arrays(self, cam_index, lm_index):
+        """Row enumeration + index arrays for the outlier-pass
+        reprojection, CHAINED onto the BA solve's dispatch: the row
+        topology is identical before and after the solve (BA moves
+        values, not observations), so the projection inputs can be
+        shipped with the solve and evaluated against the solved state on
+        device — the separate remove_outliers round trips disappear.
+        Enumeration order matches compute_projections exactly."""
+        rows = []
+        for tid, lm in self.landmarks.items():
+            for fcid, feat in lm.obs.items():
+                rows.append((tid, fcid, feat, False))
+            for fcid, feat in lm.outlier_obs.items():
+                rows.append((tid, fcid, feat, True))
+        if not rows:
+            return None, None, 0
+        n = len(rows)
+        uvf, off = self._uv_table()
+        uv_meas = uvf[np.fromiter(
+            (off[r[1]] + r[2] for r in rows), np.int64, n)]
+        cam_idx = np.fromiter((cam_index[r[1]] for r in rows), np.int64, n)
+        lm_idx = np.fromiter((lm_index[r[0]] for r in rows), np.int64, n)
+        anchor: dict = {}
+        for r in rows:
+            t = r[0]
+            if t not in anchor:
+                lm = self.landmarks[t]
+                a = min(lm.obs)
+                anchor[t] = (a[1], cam_index[a], off[a] + lm.obs[a])
+        an_idx = np.fromiter((anchor[r[0]][1] for r in rows), np.int64, n)
+        uv_a = uvf[np.fromiter((anchor[r[0]][2] for r in rows),
+                               np.int64, n)]
+        ia_idx = np.fromiter((anchor[r[0]][0] for r in rows), np.int64, n)
+        it_idx = np.fromiter((r[1][1] for r in rows), np.int64, n)
+        M = _bucket(n, 256)
+        proj = dict(
+            uv_a=_pad_rows(uv_a, M),
+            ia_idx=_pad_rows(ia_idx.astype(np.uint8)[:, None], M)[:, 0],
+            an_idx=_pad_rows(an_idx.astype(np.int32)[:, None], M)[:, 0],
+            uv_meas=_pad_rows(uv_meas, M),
+            it_idx=_pad_rows(it_idx.astype(np.uint8)[:, None], M)[:, 0],
+            cam_idx=_pad_rows(cam_idx.astype(np.int32)[:, None], M)[:, 0],
+            lm_idx=_pad_rows(lm_idx.astype(np.int32)[:, None], M)[:, 0],
+            intr_tab=np.asarray(self.calib.intrinsics),
+        )
+        return rows, proj, M
+
     def _run_ba_solve(self, problem, cam_list, lm_list, cfg):
         """One BA solve; updates cameras/landmarks; returns a host-side
         BAResult.  On accelerators the (problem, plan) tree rides to the
         device as per-dtype packed buffers and results come back in ONE
         packed fetch (geometric_ba.bundle_adjustment_packed) — per-array
-        transfers over the tunnel were the BA stage's wall."""
+        transfers over the tunnel were the BA stage's wall.  The outlier
+        pass's reprojection rows ride the same dispatch and are stashed
+        for the following remove_outliers stage."""
         if jax.default_backend() != "cpu":
+            cam_index = {f: i for i, f in enumerate(cam_list)}
+            lm_index = {t: i for i, t in enumerate(lm_list)}
+            rows, proj, M = self._projection_rows_arrays(
+                cam_index, lm_index
+            )
             with self._dev():
-                poses, rho, res = geometric_ba.bundle_adjustment_packed(
-                    problem, self.model, cfg
+                poses, rho, res, proj_out = (
+                    geometric_ba.bundle_adjustment_packed(
+                        problem, self.model, cfg, proj=proj
+                    )
                 )
+            if rows is not None and proj_out is not None:
+                self._proj_stash = (rows, proj_out[: len(rows)], M)
         else:
             with self._dev():
                 solved, res = geometric_ba.bundle_adjustment(
@@ -1633,6 +1691,21 @@ class SfmPipeline:
                 rows.append((tid, fcid, feat, True))
         if not rows:
             return None
+
+        # consume the projection block chained onto the last BA dispatch
+        # when the row topology is unchanged (it always is on the
+        # optimize -> remove_outliers edge; the full-list equality check
+        # makes staleness impossible, not just unlikely)
+        stash = getattr(self, "_proj_stash", None)
+        self._proj_stash = None
+        if stash is not None and stash[0] == rows:
+            packed, M = stash[1], stash[2]
+            self._count("project_calls")
+            self._count(f"project_rows_{M}")
+            return self._finish_projections(
+                rows, packed[:, :2], packed[:, 2], packed[:, 3],
+                packed[:, 4],
+            )
         tids = [r[0] for r in rows]
         # anchor-side arrays (get_p inputs) ride into the FUSED projection
         # kernel — one dispatch instead of lm-positions + project per pass
@@ -1672,7 +1745,12 @@ class SfmPipeline:
             ))
         uv_proj, err, dist, zc = (packed[:N, :2], packed[:N, 2],
                                   packed[:N, 3], packed[:N, 4])
+        return self._finish_projections(rows, uv_proj, err, dist, zc)
 
+    def _finish_projections(self, rows, uv_proj, err, dist, zc):
+        """Outlier flag assignment (set_outlier_flags, sfm.cpp:1974-2008)
+        from the projected arrays, shared by the standalone and the
+        BA-chained projection paths."""
         cfg = self.cfg
         flags = np.zeros(len(rows), np.int32)
         flags |= np.where(

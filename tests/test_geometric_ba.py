@@ -212,9 +212,10 @@ def test_bundle_adjustment_packed_matches_unpacked():
 
     p2, plan = geometric_ba._accel_plan(pnp)
     solved, res = geometric_ba.make_fused_solver("pinhole")(p2, plan, cfg)
-    poses, rho, res_p = geometric_ba.bundle_adjustment_packed(
+    poses, rho, res_p, proj_out = geometric_ba.bundle_adjustment_packed(
         pnp, "pinhole", cfg
     )
+    assert proj_out is None
     np.testing.assert_allclose(poses, np.asarray(solved.cam_states),
                                rtol=0, atol=0)
     np.testing.assert_allclose(rho, np.asarray(solved.inv_depth),
