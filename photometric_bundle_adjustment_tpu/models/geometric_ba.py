@@ -226,7 +226,7 @@ def _packed_solver(model: str):
 
     @functools.partial(_jax.jit, static_argnames=("cfg", "spec"))
     def run(buffers, cfg, spec):
-        tree = pack_mod.unpack_tree(buffers, spec)
+        tree = pack_mod.unpack_tree_bytes(buffers, spec)
         problem, plan, ir_idx, it_idx, intr_tab = tree[:5]
         proj = tree[5] if len(tree) > 5 else None
         aux = problem.obs.aux._replace(
@@ -320,11 +320,11 @@ def bundle_adjustment_packed(
     tree = (slim, plan, ir_idx, it_idx, intr_tab)
     if proj is not None:
         tree = tree + (proj,)
-    buffers, spec = pack_mod.pack_tree(tree)
+    buffers, spec = pack_mod.pack_tree_bytes(tree)
     import jax.numpy as _jnp
 
     packed = _np.asarray(_packed_solver(model)(
-        {k: _jnp.asarray(v) for k, v in buffers.items()}, cfg, spec
+        _jnp.asarray(buffers), cfg, spec
     ))
     K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
     L = problem.inv_depth.shape[0]

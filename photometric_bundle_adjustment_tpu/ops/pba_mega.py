@@ -89,15 +89,25 @@ from photometric_bundle_adjustment_tpu.optim.schur_plan import (
 
 P = 8            # DSO patch size
 GROUP = 256      # observations per grid step
-TILE_H = 24
-TILE_W = 256     # fetched tile width (lane starts must be 128-aligned)
-XW = 256         # post-roll sampling window width: each body lane-rotates
-#                  its tile so the patch's min-x lands at lane 0, halving
-#                  the x-tap masks and both MXU contractions vs the raw
-#                  256-lane tile (128 is the minimum physical lane tile, so
-#                  going narrower buys nothing).  Patches stretched wider
-#                  than XW-3 px in x clamp to the window edge with zero
-#                  gradient (same treatment as off-image samples).
+TILE_H = 24      # sublane window rows (8-aligned starts — Mosaic cannot
+#                  lower unaligned sublane vector loads; the <=7 wasted
+#                  rows are the price of alignment)
+TILE_W = 128     # fetched tile width.  Round 5: 256 -> 128 via 64-GRANULAR
+#                  window starts — split_pack_images ships each image
+#                  TWICE (the original and a 64-lane-left-rotated copy),
+#                  so every window start xw = 64*floor(xs/64) is a
+#                  128-ALIGNED load in one of the two copies and the
+#                  patch (<= ~12 px wide, landing at lane xs-xw in
+#                  [0, 63]) always fits a 128-lane tile.  This halves the
+#                  per-body MXU dot's N extent, the ty3 scratch, and the
+#                  post-loop x-combine vs the 256-lane formulation
+#                  (whose 128-aligned starts put the patch anywhere in
+#                  lanes [0, 137]).  Patches wider than the remaining
+#                  window clamp to the edge with zero gradient — still a
+#                  strict superset of the reference tile-sampling
+#                  semantics' (12, 16) span (models/photometric_ba.py
+#                  TILE_H/TILE_W), so kernel/gather parity is unchanged.
+XW = 128         # sampling window width = TILE_W
 OUT_ROWS = 184   # 179 payload rows padded to a sublane multiple
 ROW_COST = 144
 _SEG_GROUPS = 1536  # bounds scalar-prefetch SMEM residency (see patch_sample)
@@ -396,12 +406,17 @@ def warp_slabs(model: str, cam_states, inv_depth, consts: MegaConsts):
     return ux, uy, fin, GA, GB
 
 
-def _tile_prologue(ux, uy, H, W, Hp):
+def _tile_prologue(ux, uy, H, W, Hp, Wp):
     """Tile-start codes + window-start rows (XLA).
 
-    The code packs (y0/8, x0/128) for the kernel's 128-aligned
-    (TILE_H, TILE_W) image slice; ``wsy`` carries the same starts as a
-    float (2, Og) row so the kernel can rebuild window-relative tap
+    The code packs (y0/8, hicol) for the kernel's (TILE_H, TILE_W) image
+    slice, where ``hicol`` is the 128-aligned LOAD column into the
+    4-panel split-packed image ([hi | hi<<64 | lo | lo<<64], see
+    split_pack_images): window start xw = 64*floor(xs/64) loads at
+    column xw from the un-rotated panel when xw is a 128-multiple, and
+    at column (xw - 64) + Wp from the 64-rotated panel otherwise — both
+    128-aligned.  ``wsy`` carries (xw, y0) in ORIGINAL image coordinates
+    as a float (2, Og) row so the kernel can rebuild window-relative tap
     coordinates ON-CHIP.  Round 3 computed rx/ry/mask slabs here and
     shipped them transposed into the kernel — the (8, Og) -> (Og, 8)
     sublane->lane relayouts alone cost ~1.5 ms/build; v2 ships only the
@@ -417,14 +432,18 @@ def _tile_prologue(ux, uy, H, W, Hp):
         jnp.floor(jnp.min(xc, axis=0, keepdims=True)).astype(jnp.int32) - 1,
         0,
     )                                                   # (1, Og)
-    x0 = xs // 128 * 128
+    # 64-granular window start, clipped so the 128-lane window stays
+    # inside the padded image (Wp - W >= the clip slack: rx stays < XW)
+    xw = jnp.clip(xs // 64 * 64, 0, Wp - TILE_W)
+    k = (xw // 64) % 2                                  # rotated-copy bit
+    hicol = xw - 64 * k + Wp * k
     y0 = jnp.clip(
         jnp.floor(jnp.min(yc, axis=0, keepdims=True)).astype(jnp.int32) - 1,
         0, Hp - TILE_H,
     ) // 8 * 8
-    code = ((y0 // 8) * 16384 + (x0 // 128) * 128).reshape(-1)
+    code = ((y0 // 8) * 16384 + hicol).reshape(-1)
     wsy = jnp.concatenate(
-        [x0.astype(dtype), y0.astype(dtype)], axis=0
+        [xw.astype(dtype), y0.astype(dtype)], axis=0
     )                                                   # (2, Og)
     return code, wsy
 
@@ -555,20 +574,21 @@ def _make_kernel(huber_delta: float, H: int, W: int, mode: str = "full",
                 wv - wv_hi.astype(jnp.float32)
             ).astype(jnp.bfloat16)
 
-        # the image halves: hi in lanes [0, Wpk), lo residual in
-        # [Wpk, 2*Wpk) (split_pack_images)
-        Wpk = img_ref.shape[2] // 2
+        # the image panels: [hi | hi<<64 | lo | lo<<64] each Wpk wide
+        # (split_pack_images); a body's lo tile sits exactly 2*Wpk lanes
+        # right of its hi tile, whichever rotation copy it loads from
+        Wpk = img_ref.shape[2] // 4
 
         if mode != "weights_only":
             for t in range(GROUP):
                 @pl.when(t < cnt)
                 def _(t=t):
                     code = code_ref[base + t]
-                    # buf folds into the row offset: imgbuf is (2*Hi, 2*Wpk)
+                    # buf folds into the row offset: imgbuf is (2*Hi, 4*Wpk)
                     y0 = pl.multiple_of(
                         (code >> 14) * 8 + buf * Hi, 8
                     )
-                    x0 = pl.multiple_of(((code >> 7) & 0x7F) * 128, 128)
+                    x0 = pl.multiple_of(code & 16383, 128)
                     t_hi = imgbuf[pl.ds(y0, TILE_H), pl.ds(x0, TILE_W)]
                     # bf16 inputs must carry DEFAULT precision: an ambient
                     # default_matmul_precision("float32") would stamp the
@@ -590,7 +610,7 @@ def _make_kernel(huber_delta: float, H: int, W: int, mode: str = "full",
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT,
                         )
-                        x0l = pl.multiple_of(Wpk + x0, 128)
+                        x0l = pl.multiple_of(2 * Wpk + x0, 128)
                         t_lo = imgbuf[pl.ds(y0, TILE_H), pl.ds(x0l, TILE_W)]
                         d3 = jnp.dot(
                             wy23[0:Q, t, :], t_lo,
@@ -709,17 +729,26 @@ def _make_kernel(huber_delta: float, H: int, W: int, mode: str = "full",
 
 
 def split_pack_images(images3d):
-    """(Kimg, Hp, Wp) f32 -> (Kimg, Hp, 2*Wp) bf16: the hi bf16 image in
-    lanes [0, Wp) and the residual lo = img - hi in [Wp, 2*Wp).  Same
-    total bytes as the f32 stack; lets the kernel's per-body contraction
-    run as THREE single-pass bf16 dots (wy_hi.hi + wy_lo.hi + wy_hi.lo,
-    error ~2^-15 relative, the dropped lo.lo term) instead of XLA's
-    6-pass f32 emulation — measured 0.88 ms/build of pure pass count at
-    EuRoC scale.  Do this ONCE per solve (make_mega_solver); mega_rj
-    packs on the fly only for stray f32 callers."""
+    """(Kimg, Hp, Wp) f32 -> (Kimg, Hp, 4*Wp) bf16 panels
+    [hi | hi<<64 | lo | lo<<64].
+
+    hi is the bf16 image, lo the residual lo = img - hi: the split lets
+    the kernel's per-body contraction run as THREE single-pass bf16 dots
+    (wy_hi.hi + wy_lo.hi + wy_hi.lo, error ~2^-15 relative, the dropped
+    lo.lo term) instead of XLA's 6-pass f32 emulation — measured
+    0.88 ms/build of pure pass count at EuRoC scale.  The <<64 copies
+    (each image rotated 64 lanes left) give the kernel 64-GRANULAR
+    window starts from 128-ALIGNED loads, halving the dot's N extent to
+    TILE_W=128 (see the TILE_W note at the top).  2x the f32 stack's
+    bytes in HBM and per-image DMA — measured well under the MXU/issue
+    time it buys back.  Do this ONCE per solve (make_mega_solver);
+    mega_rj packs on the fly only for stray f32 callers."""
     hi = images3d.astype(jnp.bfloat16)
     lo = (images3d - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, lo], axis=2)
+    return jnp.concatenate(
+        [hi, jnp.roll(hi, -64, axis=2), lo, jnp.roll(lo, -64, axis=2)],
+        axis=2,
+    )
 
 
 @functools.partial(
@@ -744,10 +773,10 @@ def mega_rj(images3d, ux, uy, GA, GB, refp, aff, iog, cnt, ictl, inxt,
     if images3d.dtype != jnp.bfloat16:
         images3d = split_pack_images(images3d)
     Kimg, Hp, Wp2 = images3d.shape
-    Wp = Wp2 // 2
+    Wp = Wp2 // 4
     Og = ux.shape[1]
     n_groups = Og // GROUP
-    code, wsy = _tile_prologue(ux, uy, H, W, Hp)
+    code, wsy = _tile_prologue(ux, uy, H, W, Hp, Wp)
     sample_dtype = jnp.bfloat16 if bf16 else jnp.float32
     ux = ux.astype(jnp.float32)
     uy = uy.astype(jnp.float32)

@@ -186,10 +186,12 @@ def _triangulate_rows_kernel(model, uv0, uv1, intr0, intr1, T0, T1, min_cos):
 def _triangulate_rows_packed(model, buffers, min_cos, spec):
     """Packed-buffer front of :func:`_triangulate_rows_kernel` with
     intrinsics compacted to per-row uint8 indices; returns ONE (M, 2)
-    array [inv_depth, ok] (one upload set + one fetch per call)."""
+    array [inv_depth, ok] (one byte-buffer upload + one fetch per call)."""
     from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
 
-    uv0, uv1, i0, i1, intr_tab, T0, T1 = pack_mod.unpack_tree(buffers, spec)
+    uv0, uv1, i0, i1, intr_tab, T0, T1 = pack_mod.unpack_tree_bytes(
+        buffers, spec
+    )
     inv_depth, ok = _triangulate_rows_kernel(
         model, uv0, uv1, intr_tab[i0], intr_tab[i1], T0, T1, min_cos
     )
@@ -202,8 +204,8 @@ def _project_obs_packed(model, buffers, spec):
     (M, 5) packed output; intrinsics ride as uint8 row indices)."""
     from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
 
-    uv_a, ia, T_a, rho, uv_meas, it_, T_t, intr_tab = pack_mod.unpack_tree(
-        buffers, spec
+    uv_a, ia, T_a, rho, uv_meas, it_, T_t, intr_tab = (
+        pack_mod.unpack_tree_bytes(buffers, spec)
     )
     return _project_obs_kernel(
         model, uv_a, intr_tab[ia], T_a, rho, uv_meas, intr_tab[it_], T_t
@@ -306,11 +308,11 @@ def _localize_batch_kernel(model, uv, intr, uv_a, intr_a, T_a, rho,
 def _localize_batch_packed(model, buffers, keys, pixel_threshold,
                            num_hypotheses, spec):
     """Packed-buffer front of :func:`_localize_batch_kernel`: the wave's
-    seven input arrays ride as one buffer per dtype (utils/pack) — each
+    seven input arrays ride as ONE byte buffer (utils/pack) — each
     separate jit argument is its own tunnel transfer."""
     from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
 
-    uv, intr, uv_a, intr_a, T_a, rho, valid = pack_mod.unpack_tree(
+    uv, intr, uv_a, intr_a, T_a, rho, valid = pack_mod.unpack_tree_bytes(
         buffers, spec
     )
     return _localize_batch_kernel(
@@ -970,7 +972,7 @@ class SfmPipeline:
         min_cos = float(np.cos(np.deg2rad(self.cfg.min_triangulation_angle_deg)))
         from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
 
-        bufs, spec = pack_mod.pack_tree((
+        bufs, spec = pack_mod.pack_tree_bytes((
             _pad_rows(uv0, M), _pad_rows(uv1, M),
             _pad_rows(i0.astype(np.uint8)[:, None], M)[:, 0],
             _pad_rows(i1.astype(np.uint8)[:, None], M)[:, 0],
@@ -978,9 +980,7 @@ class SfmPipeline:
         ))
         with self._dev():
             packed = np.asarray(_triangulate_rows_packed(
-                self.model,
-                {k: jnp.asarray(v) for k, v in bufs.items()},
-                min_cos, spec,
+                self.model, jnp.asarray(bufs), min_cos, spec,
             ))
         return packed[:N, 0], packed[:N, 1] > 0.5
 
@@ -1184,14 +1184,13 @@ class SfmPipeline:
 
         from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
 
-        bufs, spec = pack_mod.pack_tree(
+        bufs, spec = pack_mod.pack_tree_bytes(
             (uv_b, intr_b, uva_b, intra_b, Ta_b, rho_b, val_b)
         )
         with self._dev():
             keys = self._next_keys(B)
             packed = np.asarray(_localize_batch_packed(
-                self.model,
-                {k: jnp.asarray(v) for k, v in bufs.items()}, keys,
+                self.model, jnp.asarray(bufs), keys,
                 float(self.cfg.reprojection_error_pnp_inlier_threshold_pixel),
                 int(self.cfg.pnp_hypotheses), spec,
             ))
@@ -1729,7 +1728,7 @@ class SfmPipeline:
         self._count(f"project_rows_{M}")
         from photometric_bundle_adjustment_tpu.utils import pack as pack_mod
 
-        bufs, spec = pack_mod.pack_tree((
+        bufs, spec = pack_mod.pack_tree_bytes((
             _pad_rows(uv_a, M),
             _pad_rows(ia_ids.astype(np.uint8)[:, None], M)[:, 0],
             _pad_rows(T_a, M),
@@ -1740,8 +1739,7 @@ class SfmPipeline:
         ))
         with self._dev():
             packed = np.asarray(_project_obs_packed(
-                self.model,
-                {k: jnp.asarray(v) for k, v in bufs.items()}, spec,
+                self.model, jnp.asarray(bufs), spec,
             ))
         uv_proj, err, dist, zc = (packed[:N, :2], packed[:N, 2],
                                   packed[:N, 3], packed[:N, 4])
