@@ -206,6 +206,73 @@ def build_problem(
     )
 
 
+def _device_pair_plan(an, tn, valid, K: int, NCpb: int, B: int):
+    """Rebuild the camera-pair Gram plan (pg, cc_rows4) ON DEVICE.
+
+    Bit-identical re-derivation of schur_plan._chunk_segments' pair plan
+    from the (anchor_cam, target_cam, valid) arrays that ride the packed
+    upload anyway: at EuRoC scale the host-built (32768, 32) ``pg`` table
+    alone was 4.2 MB of the 7.6 MB per-solve upload — ~55% of the BA
+    stage's tunnel-bandwidth tax — while the arrays it derives from are
+    3 x 131 KB.  Same sort-order contract as the host build (stable sort
+    of pair ids with invalid rows keyed past every real pair, segment-
+    then-chunk numbering in sorted order), so the assembled sums are
+    bit-identical; verified by test_bundle_adjustment_packed_matches_
+    unpacked.  Works for both plan families (SchurPlan over original
+    rows, DenseLmSchurPlan over slot-major padded rows) because both
+    build their pair chunks from exactly these three arrays.
+
+    Static args: K (camera bucket), NCpb (chunk-row bucket from the host
+    plan's shape), B (pair_chunk).  Ref: the block-sparse structures
+    Ceres builds at solve time for SPARSE_SCHUR,
+    /root/reference/include/visnav/map_utils.h:377-383.
+    """
+    KK = K * K
+    pid = jnp.where(
+        valid, an.astype(jnp.int32) * K + tn.astype(jnp.int32), KK
+    )
+    pg, prow = _device_chunk_plan(pid, KK, NCpb, B)
+    pa, pc = prow // K, prow % K
+    rows4 = jnp.stack(
+        [pa * K + pa, pa * K + pc, pc * K + pa, pc * K + pc], axis=1
+    )
+    cc_rows4 = jnp.where((prow == KK)[:, None], KK, rows4).astype(jnp.int32)
+    return pg, cc_rows4
+
+
+def _device_chunk_plan(pid, R: int, NCb: int, B: int):
+    """Device analog of schur_plan._chunk_segments + its bucketed fill:
+    ``pid`` (O,) int32 output-row keys with INVALID entries pre-set to
+    ``R`` (all real keys < R); returns (gidx (NCb, B) int32 obs ids with
+    O-dummies, rows (NCb,) int32 with R-dummies) — bit-identical to the
+    host build's fill conventions (same stable sort order,
+    segment-then-chunk numbering).  All shapes static; the whole thing is
+    one sort + cumsum/cummax + two dropped scatters (~0.5 ms at EuRoC
+    scale vs the ~MB-scale upload of the host table it replaces)."""
+    O = pid.shape[0]
+    order = jnp.argsort(pid, stable=True)
+    sids = pid[order]
+    sv = sids < R
+    io = jnp.arange(O, dtype=jnp.int32)
+    new_seg = sv & ((io == 0) | (sids != jnp.roll(sids, 1)))
+    # position within segment: distance to the latest segment start
+    start = jax.lax.cummax(jnp.where(new_seg, io, -1))
+    pos = io - start
+    slot = pos % B
+    new_chunk = sv & (new_seg | (slot == 0))
+    cid = jnp.cumsum(new_chunk.astype(jnp.int32)) - 1
+    cid_s = jnp.where(sv, cid, NCb)           # invalid rows: dropped
+    gidx = (
+        jnp.full((NCb, B), O, jnp.int32)
+        .at[cid_s, slot].set(order.astype(jnp.int32), mode="drop")
+    )
+    rows = (
+        jnp.full((NCb,), R, jnp.int32)
+        .at[cid_s].set(sids, mode="drop")
+    )
+    return gidx, rows
+
+
 @functools.lru_cache(maxsize=None)
 def _packed_solver(model: str):
     """Jitted solve over PACKED (problem, plan) buffers: one upload per
@@ -224,8 +291,8 @@ def _packed_solver(model: str):
 
     solver = make_fused_solver(model)
 
-    @functools.partial(_jax.jit, static_argnames=("cfg", "spec"))
-    def run(buffers, cfg, spec):
+    @functools.partial(_jax.jit, static_argnames=("cfg", "spec", "pgs"))
+    def run(buffers, cfg, spec, pgs=None):
         tree = pack_mod.unpack_tree_bytes(buffers, spec)
         problem, plan, ir_idx, it_idx, intr_tab = tree[:5]
         proj = tree[5] if len(tree) > 5 else None
@@ -235,6 +302,16 @@ def _packed_solver(model: str):
         problem = problem._replace(
             obs=problem.obs._replace(aux=aux)
         )
+        if pgs is not None:
+            # pair-Gram plan rebuilt on device from the shipped obs graph
+            # (the host table was ~55% of the per-solve upload bytes)
+            NCpb, Bp = pgs
+            K_ = _jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
+            pg, cc4 = _device_pair_plan(
+                problem.obs.anchor_cam, problem.obs.target_cam,
+                problem.obs.valid != 0, K_, NCpb, Bp,
+            )
+            plan = plan._replace(pg=pg, cc_rows4=cc4)
         solved, res = solver(problem, plan, cfg)
         dt = solved.cam_states.dtype
         out = [
@@ -317,14 +394,21 @@ def bundle_adjustment_packed(
         intr_ref=_np.zeros((0,), ir.dtype),
         intr_target=_np.zeros((0,), it.dtype),
     )))
-    tree = (slim, plan, ir_idx, it_idx, intr_tab)
+    # the pair-Gram tables are rebuilt on device from the obs graph
+    # (_device_pair_plan); ship empty placeholders + their static shape
+    pgs = (int(plan.pg.shape[0]), int(plan.pg.shape[1]))
+    plan_slim = plan._replace(
+        pg=_np.zeros((0, plan.pg.shape[1]), _np.int32),
+        cc_rows4=_np.zeros((0, 4), _np.int32),
+    )
+    tree = (slim, plan_slim, ir_idx, it_idx, intr_tab)
     if proj is not None:
         tree = tree + (proj,)
     buffers, spec = pack_mod.pack_tree_bytes(tree)
     import jax.numpy as _jnp
 
     packed = _np.asarray(_packed_solver(model)(
-        _jnp.asarray(buffers), cfg, spec
+        _jnp.asarray(buffers), cfg, spec, pgs
     ))
     K = jax.tree_util.tree_leaves(problem.cam_states)[0].shape[0]
     L = problem.inv_depth.shape[0]

@@ -224,6 +224,48 @@ def test_bundle_adjustment_packed_matches_unpacked():
     np.testing.assert_allclose(res_p.cost, float(res.cost), rtol=1e-6)
 
 
+def test_bundle_adjustment_packed_chunk_family():
+    """Same bit-exactness for the ragged CHUNK plan family (SchurPlan):
+    invalidating most observations makes smax*L > 3*n_valid so
+    _accel_plan keeps the chunk plan, exercising the device-side
+    _device_pair_plan rebuild on that family too (the uniform synthetic
+    of the test above always picks the dense plan)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from photometric_bundle_adjustment_tpu.models import (
+        geometric_ba, synthetic,
+    )
+    from photometric_bundle_adjustment_tpu.optim import ba
+
+    problem, _, _ = synthetic.synth_ba_problem(
+        model="pinhole", K=10, L=96, obs_per_landmark=8,
+        pixel_noise=0.5, dtype=jnp.float32,
+    )
+    pnp = jax.tree_util.tree_map(np.asarray, problem)
+    rng = np.random.default_rng(3)
+    v = np.asarray(pnp.obs.valid).copy()
+    drop = rng.random(v.shape) < 0.8
+    ln = np.asarray(pnp.obs.landmark)
+    drop[ln <= 1] = False   # two landmarks keep all 8 obs -> smax stays 8
+    v = np.where(drop, 0.0, v)
+    pnp = pnp._replace(obs=pnp.obs._replace(valid=v.astype(v.dtype)))
+
+    p2, plan = geometric_ba._accel_plan(pnp)
+    from photometric_bundle_adjustment_tpu.optim.schur_plan import SchurPlan
+    assert isinstance(plan, SchurPlan), "test no longer hits chunk family"
+    cfg = ba.BAConfig(max_iterations=3, huber_delta=1.0)
+    solved, res = geometric_ba.make_fused_solver("pinhole")(p2, plan, cfg)
+    poses, rho, res_p, _ = geometric_ba.bundle_adjustment_packed(
+        pnp, "pinhole", cfg
+    )
+    np.testing.assert_allclose(poses, np.asarray(solved.cam_states),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(rho, np.asarray(solved.inv_depth),
+                               rtol=0, atol=0)
+
+
 def test_pack_tree_roundtrip():
     import jax
     import numpy as np
